@@ -1,0 +1,330 @@
+"""Experiment runner CLI.
+
+Replaces the reference's per-model ``train.py`` __main__ scripts with ONE
+configurable entry point (SURVEY.md §5 config row: the reference hardcodes
+hyperparameters and personal data paths in each script, e.g.
+/root/reference/src/ctr/fm/train.py:25-34).
+
+    python -m recsys_tpu.cli ctr    --model deepfm --data criteo.csv
+    python -m recsys_tpu.cli ctr    --model fm                    # synthetic
+    python -m recsys_tpu.cli din    [--reviews r.json --meta m.json]
+    python -m recsys_tpu.cli multitask --model esmm|mmoe|ple [--census tr te]
+    python -m recsys_tpu.cli match  --model dssm|senet|fm [--ml100k DIR]
+    python -m recsys_tpu.cli ncf    [--ratings u.data]
+    python -m recsys_tpu.cli sasrec [--ratings ratings.csv]
+
+Defaults follow the reference protocol: Adam lr=1e-3, batch 512 (CTR) / 128
+(NCF, multi-task) / 32 (DIN), EarlyStopping(val_loss, patience=1)
+(/root/reference/src/ctr/fm/train.py:32-34,58-61).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _ctr_model(name, schema):
+    from recsys_tpu.models.ctr.autoint import AutoInt
+    from recsys_tpu.models.ctr.dcn import DCN
+    from recsys_tpu.models.ctr.deep_crossing import DeepCrossing
+    from recsys_tpu.models.ctr.deepfm import DeepFM
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.models.ctr.fm import FM
+    from recsys_tpu.models.ctr.wide_deep import WideDeep
+
+    zoo = {
+        "fm": FM,
+        "deepfm": DeepFM,
+        "widedeep": WideDeep,
+        "deepcrossing": DeepCrossing,
+        "dcn": DCN,
+        "dlrm": DLRM,
+        "autoint": AutoInt,
+    }
+    return zoo[name](schema)
+
+
+def run_ctr(args):
+    from recsys_tpu.train.loop import Trainer
+
+    if args.data:
+        from recsys_tpu.data.criteo import create_criteo_dataset
+
+        schema, train, test = create_criteo_dataset(
+            args.data, embed_dim=args.embed_dim,
+            read_part=args.sample_num > 0, sample_num=args.sample_num,
+        )
+    else:
+        from recsys_tpu.data.synthetic import synthetic_ctr
+
+        schema, data = synthetic_ctr(
+            num_examples=20000, embed_dim=args.embed_dim, seed=0
+        )
+        cut = int(0.8 * len(data["label"]))
+        train = {k: v[:cut] for k, v in data.items()}
+        test = {k: v[cut:] for k, v in data.items()}
+
+    tr = Trainer(_ctr_model(args.model, schema), learning_rate=args.lr)
+    tr.fit(
+        train,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        validation_split=0.1,
+        early_stopping_patience=1,
+    )
+    auc = tr.evaluate_auc(test)
+    print(f"test AUC: {auc:.4f}")
+    return auc
+
+
+def run_din(args):
+    from recsys_tpu.models.ctr.din import DIN
+    from recsys_tpu.train.loop import Trainer
+
+    if args.reviews and args.meta:
+        from recsys_tpu.data.amazon import create_amazon_electronic_dataset
+
+        schema, train, val, test = create_amazon_electronic_dataset(
+            args.reviews, args.meta, embed_dim=args.embed_dim
+        )
+    else:
+        from recsys_tpu.data.amazon import build_amazon_arrays, synthetic_reviews
+
+        reviews, meta = synthetic_reviews(num_users=300, num_items=100)
+        schema, train, val, test = build_amazon_arrays(
+            reviews, meta, embed_dim=args.embed_dim, maxlen=20
+        )
+    tr = Trainer(DIN(schema), learning_rate=args.lr)
+    tr.fit(train, batch_size=args.batch_size or 32, epochs=args.epochs,
+           val_data=val, early_stopping_patience=1)
+    print(f"test AUC: {tr.evaluate_auc(test):.4f}")
+
+
+def run_multitask(args):
+    from recsys_tpu.train import losses
+    from recsys_tpu.train.loop import Trainer
+
+    if args.census:
+        from recsys_tpu.data.census import create_census_dataset
+
+        schema, train, val, test = create_census_dataset(*args.census)
+        t1, t2 = "income", "marital"
+    else:
+        from recsys_tpu.data.synthetic import synthetic_multitask
+
+        schema, data = synthetic_multitask(num_examples=20000)
+        flat = {"sparse": data["sparse"],
+                **{f"label_{k}": v for k, v in data["labels"].items()}}
+        cut = int(0.8 * len(data["sparse"]))
+        train = {k: v[:cut] for k, v in flat.items()}
+        test = val = {k: v[cut:] for k, v in flat.items()}
+        t1, t2 = "ctr", "cvr"
+
+    if args.model == "esmm":
+        from recsys_tpu.models.ctr.esmm import ESMM
+
+        model = ESMM(schema, num_user_fields=len(schema.sparse) // 2)
+
+        def loss_fn(out, batch):
+            return losses.bce_probs(out["ctr"], batch[f"label_{t1}"]) + \
+                losses.bce_probs(out["ctcvr"], batch[f"label_{t2}"])
+        heads = ("ctr", "ctcvr")
+        from_logits = False
+    else:
+        if args.model == "mmoe":
+            from recsys_tpu.models.ctr.mmoe import MMoE as M
+        else:
+            from recsys_tpu.models.ctr.ple import PLE as M
+        model = M(schema, task_names=(t1, t2))
+
+        def loss_fn(out, batch):
+            return losses.multi_task_bce(
+                out, {t1: batch[f"label_{t1}"], t2: batch[f"label_{t2}"]}
+            )
+        heads = (t1, t2)
+        from_logits = True
+
+    tr = Trainer(model, loss_fn=loss_fn, learning_rate=args.lr)
+    tr.fit(train, batch_size=args.batch_size or 128, epochs=args.epochs,
+           val_data=val, early_stopping_patience=1)
+    import jax
+
+    preds = tr.predict(test)
+    from recsys_tpu.train.metrics import auc_exact
+
+    for head, label in zip(heads, (t1, t2)):
+        p = preds[head]
+        if from_logits:
+            p = np.asarray(jax.nn.sigmoid(p))
+        print(f"{head} AUC: {auc_exact(p, test[f'label_{label}']):.4f}")
+
+
+def run_match(args):
+    import jax.numpy as jnp
+
+    from recsys_tpu.models.match.fm_match import FMMatch
+    from recsys_tpu.models.match.two_tower import DSSM, SENetDSSM
+    from recsys_tpu.train.loop import Trainer
+    from recsys_tpu.train.metrics import recall_at_k
+    from recsys_tpu.train.retrieval import BruteForceIndex
+
+    if args.ml100k:
+        from recsys_tpu.data.movielens import create_ml_100k_dataset
+
+        user_schema, item_schema, train, test = create_ml_100k_dataset(
+            args.ml100k, embed_dim=args.embed_dim
+        )
+    else:
+        import pandas as pd
+
+        from recsys_tpu.data.movielens import build_ml100k_arrays, synthetic_ratings
+
+        rng = np.random.default_rng(0)
+        nu, ni = 300, 150
+        ratings = synthetic_ratings(num_users=nu, num_items=ni)
+        users = pd.DataFrame({
+            "user_id": np.arange(1, nu + 1),
+            "age": rng.integers(10, 70, nu),
+            "gender": rng.choice(["M", "F"], nu),
+            "occupation": rng.choice(list("abcdefg"), nu),
+            "zip": ["0"] * nu,
+        })
+        items = pd.DataFrame({"item_id": np.arange(1, ni + 1),
+                              "release_date": ["1995"] * ni})
+        user_schema, item_schema, train, test = build_ml100k_arrays(
+            ratings, users, items, embed_dim=args.embed_dim
+        )
+
+    if args.model == "fm":
+        model = FMMatch(user_schema, item_schema)
+        dim = user_schema.embed_dim
+    else:
+        maker = SENetDSSM if args.model == "senet" else DSSM
+        model = maker(user_schema, item_schema, out_dim=32, gamma=10.0)
+        dim = 32
+
+    tr = Trainer(model, learning_rate=args.lr)
+    tr.fit(train, batch_size=args.batch_size or 512, epochs=args.epochs,
+           validation_split=0.1, early_stopping_patience=1)
+
+    variables = {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
+    n_items = item_schema.sparse[0].vocab_size
+    catalog = {"item_sparse": jnp.arange(n_items)[:, None].astype(jnp.int32)}
+    item_embs = model.apply(variables, catalog, method=model.item_embed)
+    index = BruteForceIndex(dim)
+    index.add(item_embs)
+    pos = test["label"] > 0.5
+    users_q = {"user_sparse": jnp.asarray(test["user_sparse"][pos])}
+    u = model.apply(variables, users_q, method=model.user_embed)
+    _, I = index.search(u, 10)
+    r = recall_at_k(np.asarray(I), test["item_sparse"][pos, 0])
+    print(f"recall@10: {r:.4f} over {n_items} items "
+          f"(random {10 / n_items:.4f})")
+
+
+def run_ncf(args):
+    import jax
+
+    from recsys_tpu.data.movielens import build_ncf_dataset, synthetic_ratings
+    from recsys_tpu.models.match.ncf import NCF
+    from recsys_tpu.train import losses
+    from recsys_tpu.train.loop import Trainer
+    from recsys_tpu.train.metrics import hit_rate_ndcg_at_k
+
+    if args.ratings:
+        from recsys_tpu.data.movielens import create_ncf_dataset
+
+        nu, ni, train, val, test = create_ncf_dataset(args.ratings)
+    else:
+        nu, ni, train, val, test = build_ncf_dataset(
+            synthetic_ratings(num_users=300, num_items=150)
+        )
+    model = NCF(num_users=nu, num_items=ni)
+
+    def loss_fn(out, batch):
+        return losses.pairwise_bce(out["pos_logits"], out["neg_logits"])
+
+    tr = Trainer(model, loss_fn=loss_fn, learning_rate=args.lr)
+    for epoch in range(args.epochs):
+        tr.fit(train, batch_size=args.batch_size or 128, epochs=1,
+               verbose=False)
+        if (epoch + 1) % 2 == 0 or epoch == args.epochs - 1:
+            out = tr.predict(test)
+            hr, ndcg = hit_rate_ndcg_at_k(
+                jax.numpy.asarray(out["pos_logits"]),
+                jax.numpy.asarray(out["neg_logits"]), k=10,
+            )
+            print(f"epoch {epoch + 1}: HR@10={float(hr):.4f} "
+                  f"NDCG@10={float(ndcg):.4f}")
+
+
+def run_sasrec(args):
+    import jax
+
+    from recsys_tpu.data.movielens import (
+        build_sasrec_dataset,
+        synthetic_ratings,
+    )
+    from recsys_tpu.models.match.sasrec import SASRec
+    from recsys_tpu.train import losses
+    from recsys_tpu.train.loop import Trainer
+    from recsys_tpu.train.metrics import hit_rate_ndcg_at_k
+
+    if args.ratings:
+        from recsys_tpu.data.movielens import create_sasrec_dataset
+
+        ni, train, val, test = create_sasrec_dataset(args.ratings,
+                                                     maxlen=args.maxlen)
+    else:
+        ni, train, val, test = build_sasrec_dataset(
+            synthetic_ratings(num_users=300, num_items=150),
+            maxlen=args.maxlen,
+        )
+    model = SASRec(num_items=ni, embed_dim=64, max_len=args.maxlen)
+
+    def loss_fn(out, batch):
+        return losses.pairwise_bce(out["pos_logits"], out["neg_logits"])
+
+    tr = Trainer(model, loss_fn=loss_fn, learning_rate=args.lr)
+    tr.fit(train, batch_size=args.batch_size or 128, epochs=args.epochs,
+           verbose=True)
+    out = tr.predict(test)
+    hr, ndcg = hit_rate_ndcg_at_k(
+        jax.numpy.asarray(out["pos_logits"]),
+        jax.numpy.asarray(out["neg_logits"]), k=10,
+    )
+    print(f"test HR@10={float(hr):.4f} NDCG@10={float(ndcg):.4f}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="recsys_tpu")
+    p.add_argument("task", choices=["ctr", "din", "multitask", "match",
+                                    "ncf", "sasrec"])
+    p.add_argument("--model", default="fm")
+    p.add_argument("--data", default=None, help="criteo csv path")
+    p.add_argument("--reviews", default=None)
+    p.add_argument("--meta", default=None)
+    p.add_argument("--census", nargs=2, default=None)
+    p.add_argument("--ml100k", default=None)
+    p.add_argument("--ratings", default=None)
+    p.add_argument("--embed-dim", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--maxlen", type=int, default=50)
+    p.add_argument("--sample-num", type=int, default=0)
+    args = p.parse_args(argv)
+    {
+        "ctr": run_ctr,
+        "din": run_din,
+        "multitask": run_multitask,
+        "match": run_match,
+        "ncf": run_ncf,
+        "sasrec": run_sasrec,
+    }[args.task](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""DLRM: bottom MLP over dense, pairwise dot-interaction, top MLP.
+
+The reference's DLRM is broken (undefined attributes, missing the paper's
+dot-interaction — /root/reference/src/ctr/dlrm/model.py:42-54, bug ledger
+SURVEY.md §2.6.1).  This is the *published* DLRM (Naumov et al. 2019):
+  z = bottom_mlp(dense)                      (B, D)
+  E = field embeddings                       (B, F, D)
+  I = pairwise dots of [z, E]                (B, (F+1)F/2)
+  logit = top_mlp([z, I])
+The dot-interaction routes through the fused interaction kernel.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from recsys_tpu.core.features import FeatureSchema
+from recsys_tpu.kernels import interactions as ikernels
+from recsys_tpu.ops.embedding import StackedEmbedding
+from recsys_tpu.ops.mlp import MLP
+
+
+class DLRM(nn.Module):
+    schema: FeatureSchema
+    bottom_units: Sequence[int] = (256, 64)
+    top_units: Sequence[int] = (256, 128, 64)
+    self_interaction: bool = False
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
+        sparse, dense = batch["sparse"], batch.get("dense")
+        d = self.schema.embed_dim
+        field_embs = StackedEmbedding(self.schema)(sparse)  # (B, F, D)
+
+        feats = field_embs
+        bottom = None
+        if dense is not None and dense.shape[-1] > 0:
+            bottom = MLP(self.bottom_units, out_dim=d)(dense, training=training)
+            feats = jnp.concatenate([bottom[:, None, :], field_embs], axis=1)
+
+        inter = ikernels.dot_interaction(
+            feats, self_interaction=self.self_interaction
+        )
+        top_in = inter if bottom is None else jnp.concatenate(
+            [bottom, inter], axis=-1
+        )
+        return MLP(
+            self.top_units, out_dim=1, dropout_rate=self.dropout_rate
+        )(top_in, training=training)[..., 0]

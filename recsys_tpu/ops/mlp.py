@@ -1,0 +1,103 @@
+"""Dense-tower building blocks: MLP, Dice/PReLU activations.
+
+Covers the capability of the reference's two duplicated DNN layers
+(/root/reference/src/ctr/layers/modules.py:114-135 and /root/reference/src/
+match/layers/modules.py:8-26) with the reference bugs fixed: BatchNorm is a
+proper flax module with learned state (the reference constructs a fresh BN
+inside ``call`` every trace, modules.py:131), and there is exactly ONE shared
+implementation.  Dice (/root/reference/src/ctr/layers/modules.py:327-337) is
+implemented as a stateless normalised gate.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class Dice(nn.Module):
+    """DIN's adaptive activation: x * p + alpha * x * (1 - p), p = sigmoid(x_norm).
+
+    Reference semantics at /root/reference/src/ctr/layers/modules.py:327-337
+    (BN without scale/offset followed by a sigmoid gate with learned alpha).
+    Uses batch statistics in training and running stats in eval, matching
+    BatchNormalization(center=False, scale=False).
+    """
+
+    epsilon: float = 1e-9
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, training: bool = False) -> jnp.ndarray:
+        alpha = self.param("alpha", nn.initializers.zeros, (x.shape[-1],))
+        norm = nn.BatchNorm(
+            use_running_average=not training,
+            use_bias=False,
+            use_scale=False,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+        )(x)
+        p = nn.sigmoid(norm)
+        return x * p + alpha * x * (1.0 - p)
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a per-channel learned negative slope."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha", nn.initializers.constant(0.25), (x.shape[-1],)
+        )
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def resolve_activation(name: str | Callable) -> Callable:
+    """Map an activation name to a callable; 'dice'/'prelu' need modules."""
+    if callable(name):
+        return name
+    table = {
+        "relu": nn.relu,
+        "sigmoid": nn.sigmoid,
+        "tanh": nn.tanh,
+        "gelu": nn.gelu,
+        "swish": nn.swish,
+        "linear": lambda x: x,
+        "identity": lambda x: x,
+    }
+    return table[name]
+
+
+class MLP(nn.Module):
+    """Stack of Dense layers with optional entry BatchNorm and dropout.
+
+    `hidden_units` are the intermediate widths; `out_dim` (if set) appends a
+    final linear projection with no activation.  `batch_norm=True` normalises
+    the input once before the stack — the reference ctr DNN's behaviour
+    (modules.py:129-131) — rather than per layer.
+    """
+
+    hidden_units: Sequence[int]
+    activation: str = "relu"
+    out_dim: int | None = None
+    dropout_rate: float = 0.0
+    batch_norm: bool = False
+    use_dice: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, training: bool = False) -> jnp.ndarray:
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not training)(x)
+        act = None if self.use_dice else resolve_activation(self.activation)
+        for width in self.hidden_units:
+            x = nn.Dense(width)(x)
+            if self.use_dice:
+                x = Dice()(x, training=training)
+            else:
+                x = act(x)
+            if self.dropout_rate > 0.0:
+                x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
+        if self.out_dim is not None:
+            x = nn.Dense(self.out_dim)(x)
+        return x

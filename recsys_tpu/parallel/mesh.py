@@ -1,0 +1,60 @@
+"""Device mesh construction and sharding helpers.
+
+The TPU-native replacement for the reference's
+``tf.distribute.MirroredStrategy`` (every train script, e.g.
+/root/reference/src/ctr/fm/train.py:43-44): ONE ``jax.sharding.Mesh`` with a
+``data`` axis (batch / data-parallel) and a ``model`` axis (embedding-table
+row sharding).  Gradient all-reduces are emitted by XLA from jit's sharding
+propagation — no NCCL, no hand-written collectives in the train loop.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int | None = None, model: int = 1, devices=None
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    Defaults to all devices on the data axis — pure DP, the reference's only
+    strategy.  ``model > 1`` reserves an axis for sharded embedding tables.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-shard an embedding table over the model axis."""
+    return NamedSharding(mesh, P(MODEL_AXIS, None))
+
+
+def shard_batch(batch: dict, mesh: Mesh | None) -> dict:
+    """Device-put a host batch with its leading axis split over `data`."""
+    if mesh is None:
+        return jax.device_put(batch)
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,281 @@
+"""Jitted data-parallel training loop.
+
+Replaces the reference's Keras ``compile``/``fit`` under MirroredStrategy
+(e.g. /root/reference/src/ctr/deep_fm/train.py:44-65) with a functional JAX
+loop: ONE jit-compiled train step (forward, loss, grad, optimizer update —
+gradient all-reduce emitted by XLA when a mesh shards the batch), numpy
+host batching with static shapes (fixed batch size, remainder dropped in
+training / padded-and-masked in eval), early stopping with best-weight
+restore (the reference's only live weight-state mechanism,
+/root/reference/src/ctr/fm/train.py:58-61), and streaming metrics.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recsys_tpu.parallel import mesh as mesh_lib
+from recsys_tpu.train import losses as losses_lib
+from recsys_tpu.train import metrics as metrics_lib
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def default_loss(outputs, batch):
+    """BCE-with-logits on batch['label'] — the zoo's standard objective."""
+    return losses_lib.bce_with_logits(outputs, batch["label"])
+
+
+class Trainer:
+    """Generic trainer for models whose ``__call__(batch, training)`` returns
+    logits / probabilities / a task dict consumed by ``loss_fn(outputs, batch)``.
+    """
+
+    def __init__(
+        self,
+        model,
+        loss_fn: Callable = default_loss,
+        learning_rate: float = 1e-3,
+        optimizer: optax.GradientTransformation | None = None,
+        weight_decay: float = 0.0,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.tx = optimizer or optax.adam(learning_rate)
+        if weight_decay > 0.0:
+            self.tx = optax.chain(
+                optax.add_decayed_weights(weight_decay), self.tx
+            )
+        self.mesh = mesh
+        self.rng = jax.random.PRNGKey(seed)
+        self.state: TrainState | None = None
+        self._train_step = None
+        self._eval_step = None
+
+    # -- state ------------------------------------------------------------
+    def init(self, sample_batch: dict) -> TrainState:
+        self.rng, init_rng, drop_rng = jax.random.split(self.rng, 3)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": drop_rng},
+            _device_batch(sample_batch),
+            training=True,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", flax.core.freeze({}))
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        if self.mesh is not None:
+            rep = mesh_lib.replicated(self.mesh)
+            self.state = jax.device_put(self.state, rep)
+        return self.state
+
+    # -- compiled steps ---------------------------------------------------
+    def _build_steps(self):
+        model, loss_fn, tx = self.model, self.loss_fn, self.tx
+
+        def train_step(state: TrainState, batch: dict, rng):
+            def compute_loss(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                outputs, updates = model.apply(
+                    variables,
+                    batch,
+                    training=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                return loss_fn(outputs, batch), updates.get(
+                    "batch_stats", state.batch_stats
+                )
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            )
+            return new_state, loss
+
+        def eval_step(state: TrainState, batch: dict):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            outputs = model.apply(variables, batch, training=False)
+            return outputs
+
+        donate = (0,)
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._eval_step = jax.jit(eval_step)
+
+    # -- data plumbing ----------------------------------------------------
+    def _batches(self, data: dict, batch_size: int, shuffle: bool, drop_remainder: bool):
+        n = _num_examples(data)
+        idx = np.arange(n)
+        if shuffle:
+            self.rng, sub = jax.random.split(self.rng)
+            np.random.default_rng(
+                np.asarray(jax.random.key_data(sub))[-1]
+            ).shuffle(idx)
+        end = n - (n % batch_size) if drop_remainder else n
+        for s in range(0, end, batch_size):
+            sel = idx[s : s + batch_size]
+            batch = jax.tree_util.tree_map(lambda a: a[sel], data)
+            pad = batch_size - len(sel)
+            if pad > 0:
+                batch = jax.tree_util.tree_map(
+                    lambda a: np.concatenate(
+                        [a, np.repeat(a[-1:], pad, axis=0)], axis=0
+                    ),
+                    batch,
+                )
+                batch["_valid"] = np.concatenate(
+                    [np.ones(len(sel)), np.zeros(pad)]
+                ).astype(np.float32)
+            yield batch
+
+    # -- public API -------------------------------------------------------
+    def fit(
+        self,
+        train_data: dict,
+        batch_size: int = 512,
+        epochs: int = 10,
+        val_data: dict | None = None,
+        validation_split: float = 0.0,
+        early_stopping_patience: int | None = None,
+        verbose: bool = True,
+        log_every: int = 0,
+    ) -> dict:
+        """train_data: dict of aligned numpy arrays incl. the label key(s)."""
+        if validation_split > 0.0 and val_data is None:
+            n = _num_examples(train_data)
+            cut = int(n * (1.0 - validation_split))
+            val_data = jax.tree_util.tree_map(lambda a: a[cut:], train_data)
+            train_data = jax.tree_util.tree_map(lambda a: a[:cut], train_data)
+
+        if self.state is None:
+            sample = next(self._batches(train_data, batch_size, False, True))
+            self.init(sample)
+        if self._train_step is None:
+            self._build_steps()
+
+        history = {"loss": [], "val_loss": []}
+        best_val, best_params, best_stats, bad_epochs = np.inf, None, None, 0
+        for epoch in range(epochs):
+            t0 = time.time()
+            total, count = 0.0, 0
+            for batch in self._batches(train_data, batch_size, True, True):
+                self.rng, step_rng = jax.random.split(self.rng)
+                db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
+                self.state, loss = self._train_step(self.state, db, step_rng)
+                total += float(loss)
+                count += 1
+                if log_every and count % log_every == 0 and verbose:
+                    print(f"  step {count}: loss={total / count:.5f}")
+            train_loss = total / max(count, 1)
+            history["loss"].append(train_loss)
+
+            msg = f"epoch {epoch + 1}/{epochs} loss={train_loss:.5f}"
+            if val_data is not None:
+                val_loss = self.evaluate_loss(val_data, batch_size)
+                history["val_loss"].append(val_loss)
+                msg += f" val_loss={val_loss:.5f}"
+                if val_loss < best_val - 1e-6:
+                    best_val, bad_epochs = val_loss, 0
+                    # real copies: the jitted train step donates the state's
+                    # buffers, so an aliased snapshot would be deleted
+                    best_params = jax.tree_util.tree_map(
+                        lambda x: jnp.array(x, copy=True), self.state.params
+                    )
+                    best_stats = jax.tree_util.tree_map(
+                        lambda x: jnp.array(x, copy=True), self.state.batch_stats
+                    )
+                else:
+                    bad_epochs += 1
+            msg += f" ({time.time() - t0:.1f}s)"
+            if verbose:
+                print(msg)
+            if (
+                early_stopping_patience is not None
+                and bad_epochs > early_stopping_patience
+            ):
+                break
+        if best_params is not None:
+            self.state = self.state.replace(
+                params=best_params, batch_stats=best_stats
+            )
+        return history
+
+    def evaluate_loss(self, data: dict, batch_size: int = 4096) -> float:
+        """Mean loss over `data`.  Full batches run through the compiled eval
+        step; the remainder runs at its exact size (one extra compile) so no
+        examples are dropped — a silently-truncated val_loss would corrupt
+        early stopping."""
+        if self._eval_step is None:
+            self._build_steps()
+        n_total = _num_examples(data)
+        total, n = 0.0, 0
+        for batch in self._batches(data, batch_size, False, True):
+            db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
+            outputs = self._eval_step(self.state, db)
+            total += float(self.loss_fn(outputs, db)) * batch_size
+            n += batch_size
+        if n < n_total:
+            tail = jax.tree_util.tree_map(lambda a: a[n:], data)
+            db = mesh_lib.shard_batch(_device_batch(tail), self.mesh)
+            outputs = self._eval_step(self.state, db)
+            total += float(self.loss_fn(outputs, db)) * (n_total - n)
+            n = n_total
+        return total / max(n, 1)
+
+    def predict(self, data: dict, batch_size: int = 4096):
+        """Forward pass over a dataset; returns stacked outputs (pytree)."""
+        if self._eval_step is None:
+            self._build_steps()
+        outs, valids = [], []
+        for batch in self._batches(data, batch_size, False, False):
+            valid = batch.pop("_valid", None)
+            db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
+            outs.append(jax.device_get(self._eval_step(self.state, db)))
+            valids.append(
+                np.ones(batch_size) if valid is None else valid
+            )
+        mask = np.concatenate(valids).astype(bool)
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0)[mask], *outs
+        )
+
+    def evaluate_auc(
+        self, data: dict, batch_size: int = 4096, label_key: str = "label",
+        from_logits: bool = True,
+    ) -> float:
+        preds = self.predict(data, batch_size)
+        scores = jax.nn.sigmoid(preds) if from_logits else preds
+        return metrics_lib.auc(np.asarray(scores), data[label_key])
+
+
+def _num_examples(data: dict) -> int:
+    return len(next(iter(data.values())))
+
+
+def _device_batch(batch: dict) -> dict:
+    """Drop host-only keys and cast numpy arrays."""
+    return {k: v for k, v in batch.items() if not k.startswith("_")}

@@ -1,0 +1,96 @@
+"""Loss functions (numerically stable, jit-safe).
+
+Replaces the reference's Keras BCE / manual-add_loss patterns, fixing the
+NaN-prone ``log(1 - sigmoid(x))`` constructions (bug §2.6.12 at
+/root/reference/src/match/ncf/model.py:75-77, /root/reference/src/match/
+sasrec/model.py:93-95) with ``log_sigmoid`` identities, and the
+misconfigured ``tf.nn.sampled_softmax_loss`` (bug §2.6.14) with the idiomatic
+TPU retrieval loss: in-batch sampled softmax with logQ correction.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary cross-entropy on logits: stable via log_sigmoid."""
+    labels = labels.astype(logits.dtype)
+    per_ex = -(
+        labels * jax.nn.log_sigmoid(logits)
+        + (1.0 - labels) * jax.nn.log_sigmoid(-logits)
+    )
+    return jnp.mean(per_ex)
+
+
+def bce_probs(probs: jnp.ndarray, labels: jnp.ndarray, eps: float = 1e-7):
+    """BCE on probabilities (ESMM heads output products of sigmoids)."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    labels = labels.astype(p.dtype)
+    return jnp.mean(-(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p)))
+
+
+def pairwise_bce(pos_logits: jnp.ndarray, neg_logits: jnp.ndarray,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """NCF/SASRec objective: push pos logits up, neg logits down.
+
+    pos (B,) or (B,L); neg (..., N) broadcast-compatible.  Equivalent to the
+    reference's -mean[log σ(pos)] - mean[log(1-σ(neg))] but stable.
+    """
+    pos_term = -jax.nn.log_sigmoid(pos_logits)
+    neg_term = -jax.nn.log_sigmoid(-neg_logits)
+    if mask is not None:
+        m = mask.astype(pos_term.dtype)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        pos_loss = jnp.sum(pos_term * m) / denom
+        neg_m = jnp.broadcast_to(m[..., None], neg_term.shape)
+        neg_loss = jnp.sum(neg_term * neg_m) / jnp.maximum(jnp.sum(neg_m), 1.0)
+        return pos_loss + neg_loss
+    return jnp.mean(pos_term) + jnp.mean(neg_term)
+
+
+def in_batch_sampled_softmax(
+    query_embs: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    item_log_q: jnp.ndarray | None = None,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """In-batch sampled softmax with logQ correction.
+
+    query_embs (B, D), item_embs (B, D) — row i's item is the positive for
+    row i's query; all other rows are negatives.  ``item_log_q`` (B,) is the
+    log sampling probability of each item (its popularity in the batch
+    distribution) subtracted from the logits so frequent items are not
+    over-penalised as negatives.  The idiomatic TPU replacement for
+    tf.nn.sampled_softmax_loss (SURVEY.md §2.5).
+    """
+    logits = (
+        jnp.einsum(
+            "bd,nd->bn", query_embs, item_embs,
+            preferred_element_type=jnp.float32,
+        )
+        / temperature
+    )
+    if item_log_q is not None:
+        logits = logits - item_log_q[None, :]
+    labels = jnp.arange(logits.shape[0])
+    return jnp.mean(
+        -jax.nn.log_softmax(logits, axis=-1)[labels, labels]
+    )
+
+
+def multi_task_bce(outputs: dict, labels: dict, weights: dict | None = None,
+                   on_probs: bool = False) -> jnp.ndarray:
+    """Weighted sum of per-task BCE losses over matching dict keys."""
+    total = 0.0
+    for name, y in labels.items():
+        w = 1.0 if weights is None else weights.get(name, 1.0)
+        fn = bce_probs if on_probs else bce_with_logits
+        total = total + w * fn(outputs[name], y)
+    return total
+
+
+def l2_regularization(params, scale: float) -> jnp.ndarray:
+    """Explicit l2 penalty over a params pytree (reference's embed_reg/w_reg)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    return scale * sum(jnp.sum(jnp.square(p)) for p in leaves)

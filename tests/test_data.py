@@ -1,0 +1,109 @@
+"""Data pipelines: protocol invariants on synthetic inputs."""
+import numpy as np
+import pandas as pd
+
+from recsys_tpu.data.amazon import build_amazon_arrays, synthetic_reviews
+from recsys_tpu.data.criteo import DENSE_COLS, SPARSE_COLS, build_criteo_arrays
+from recsys_tpu.data.movielens import (
+    build_ml100k_arrays,
+    build_ncf_dataset,
+    build_sasrec_dataset,
+    synthetic_ratings,
+)
+
+
+def _criteo_frame(n=500, seed=0):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({"label": rng.integers(0, 2, n)})
+    for c in DENSE_COLS:
+        col = rng.normal(10, 5, n)
+        col[rng.random(n) < 0.1] = np.nan
+        df[c] = col
+    for c in SPARSE_COLS:
+        df[c] = rng.choice([f"v{i}" for i in range(20)], n)
+        df.loc[rng.random(n) < 0.05, c] = None
+    return df
+
+
+def test_criteo_per_column_scaling_and_split():
+    schema, train, test = build_criteo_arrays(_criteo_frame(), embed_dim=4)
+    dense = np.concatenate([train["dense"], test["dense"]])
+    # bug §2.6.15 regression: EVERY column individually spans ~[0, 1]
+    assert dense.min() >= 0.0 and dense.max() <= 1.0
+    assert np.all(dense.max(axis=0) > 0.9)
+    assert len(schema.sparse) == 26 and len(schema.dense) == 13
+    for j, f in enumerate(schema.sparse):
+        sp = np.concatenate([train["sparse"], test["sparse"]])[:, j]
+        assert sp.max() < f.vocab_size
+    n = len(train["label"]) + len(test["label"])
+    assert abs(len(test["label"]) / n - 0.2) < 0.01
+
+
+def test_ml100k_arrays():
+    ratings = synthetic_ratings(num_users=50, num_items=30)
+    users = pd.DataFrame({
+        "user_id": np.arange(1, 51),
+        "age": np.random.default_rng(0).integers(10, 70, 50),
+        "gender": ["M", "F"] * 25,
+        "occupation": ["a", "b", "c", "d", "e"] * 10,
+        "zip": ["0"] * 50,
+    })
+    items = pd.DataFrame({"item_id": np.arange(1, 31),
+                          "release_date": ["1995"] * 30})
+    user_schema, item_schema, train, test = build_ml100k_arrays(
+        ratings, users, items, embed_dim=4
+    )
+    assert train["user_sparse"].shape[1] == 4
+    assert train["item_sparse"].shape[1] == 1
+    # label threshold: rating >= 3
+    merged = ratings.merge(users, on="user_id").merge(items, on="item_id")
+    want_rate = (merged["rating"] >= 3).mean()
+    got_rate = np.concatenate([train["label"], test["label"]]).mean()
+    assert abs(want_rate - got_rate) < 1e-6
+
+
+def test_sasrec_dataset_protocol():
+    ratings = synthetic_ratings(num_users=40, num_items=30, seed=1)
+    num_items, train, val, test = build_sasrec_dataset(
+        ratings, maxlen=8, test_neg_num=5, min_item_count=2
+    )
+    assert train["hist"].shape[1] == 8
+    assert train["neg"].shape[1] == 1  # 1 train negative
+    assert test["neg"].shape[1] == 5  # test_neg_num
+    # front padding: zeros only at the start of each row
+    for row in train["hist"][:50]:
+        nz = np.flatnonzero(row)
+        if len(nz):
+            assert np.all(row[nz[0]:] > 0)
+    # positives are never pad
+    assert np.all(train["pos"] > 0)
+    assert np.all(train["neg"] > 0)
+
+
+def test_ncf_dataset_negatives_are_true_negatives():
+    ratings = synthetic_ratings(num_users=30, num_items=25, seed=2)
+    num_users, num_items, train, val, test = build_ncf_dataset(
+        ratings, test_neg_num=10
+    )
+    assert test["neg_item"].shape[1] == 10
+    # bug §2.6.11 regression: no sampled negative may be a positive
+    df = ratings.copy()
+    umap = {v: i for i, v in enumerate(np.sort(df["user_id"].unique()))}
+    imap = {v: i for i, v in enumerate(np.sort(df["item_id"].unique()))}
+    pos = set(zip(df["user_id"].map(umap), df["item_id"].map(imap)))
+    for split in (train, val, test):
+        for u, negs in zip(split["user"], split["neg_item"]):
+            for nitem in negs:
+                assert (u, nitem) not in pos
+
+
+def test_amazon_arrays():
+    reviews, meta = synthetic_reviews(num_users=40, num_items=25)
+    schema, train, val, test = build_amazon_arrays(reviews, meta, maxlen=10)
+    assert train["sparse"].shape[1] == 2  # [item, cate]
+    assert train["hist"].shape[1] == 10
+    assert train["hist_cate"].shape == train["hist"].shape
+    # 1:1 positives and negatives
+    assert abs(train["label"].mean() - 0.5) < 1e-6
+    # categories consistent: padded positions have cate 0
+    assert np.all((train["hist"] == 0) == (train["hist_cate"] == 0))

@@ -1,0 +1,71 @@
+"""Sharded embedding engine + sharded top-k on the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recsys_tpu.parallel.embedding_sharding import (
+    shard_table,
+    sharded_gather,
+    sharded_gather_dedup,
+    unique_with_counts_static,
+)
+from recsys_tpu.parallel.mesh import make_mesh
+from recsys_tpu.train.retrieval import topk_scores, topk_scores_sharded
+
+
+@pytest.fixture(scope="module")
+def mesh_4x2():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(data=4, model=2)
+
+
+def test_sharded_gather_matches_take(mesh_4x2):
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(64, 16)), jnp.float32)
+    rows = jnp.asarray(rng.integers(0, 64, (8, 5)), jnp.int32)
+    t = shard_table(table, mesh_4x2)
+    got = sharded_gather(t, rows, mesh_4x2)
+    np.testing.assert_allclose(got, jnp.take(table, rows, axis=0), rtol=1e-6)
+
+
+def test_sharded_gather_dedup_matches_take(mesh_4x2):
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+    rows = jnp.asarray(rng.integers(0, 32, (8, 7)), jnp.int32)
+    t = shard_table(table, mesh_4x2)
+    got = sharded_gather_dedup(t, rows, mesh_4x2)
+    np.testing.assert_allclose(got, jnp.take(table, rows, axis=0), rtol=1e-6)
+
+
+def test_sharded_gather_gradient_is_scatter_add(mesh_4x2):
+    table = jnp.ones((16, 4), jnp.float32)
+    rows = jnp.asarray([[0, 0, 5], [9, 15, 5], [1, 1, 1], [2, 3, 4],
+                        [0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]],
+                       jnp.int32)
+    t = shard_table(table, mesh_4x2)
+
+    def loss(tab):
+        return jnp.sum(sharded_gather(tab, rows, mesh_4x2))
+
+    g = jax.grad(loss)(t)
+    want = jnp.zeros((16,)).at[rows.reshape(-1)].add(1.0)
+    np.testing.assert_allclose(np.asarray(g)[:, 0], want, rtol=1e-6)
+
+
+def test_unique_with_counts_static():
+    ids = jnp.asarray([5, 3, 5, 7, 3, 3, 9, 5], jnp.int32)
+    uniq, inv = unique_with_counts_static(ids)
+    np.testing.assert_array_equal(np.asarray(uniq[inv]), np.asarray(ids))
+    # first 4 slots hold the sorted unique values
+    assert set(np.asarray(uniq[:4]).tolist()) == {3, 5, 7, 9}
+
+
+def test_sharded_topk_matches_dense(mesh_4x2):
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(50, 16)), jnp.float32)
+    dv, di = topk_scores(q, items, k=5)
+    sv, si = topk_scores_sharded(mesh_4x2, q, items, k=5)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(dv), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))

@@ -1,0 +1,77 @@
+"""End-to-end training on synthetic data: loss falls, held-out AUC beats chance."""
+import numpy as np
+import pytest
+
+from recsys_tpu.data.synthetic import synthetic_ctr, synthetic_multitask
+from recsys_tpu.models.ctr.deepfm import DeepFM
+from recsys_tpu.models.ctr.fm import FM
+from recsys_tpu.models.ctr.mmoe import MMoE
+from recsys_tpu.train import losses
+from recsys_tpu.train.loop import Trainer
+
+
+def _split(data, frac=0.8):
+    n = len(data["label"])
+    cut = int(n * frac)
+    tr = {k: v[:cut] for k, v in data.items()}
+    te = {k: v[cut:] for k, v in data.items()}
+    return tr, te
+
+
+def test_fm_learns_synthetic_ctr():
+    schema, data = synthetic_ctr(num_examples=6000, num_dense=4, num_sparse=6,
+                                 vocab_size=30, embed_dim=4, seed=1)
+    train, test = _split(data)
+    tr = Trainer(FM(schema), learning_rate=5e-2, seed=0)
+    hist = tr.fit(train, batch_size=256, epochs=3, verbose=False)
+    assert hist["loss"][-1] < hist["loss"][0]
+    auc = tr.evaluate_auc(test)
+    assert auc > 0.65, f"FM AUC too low: {auc}"
+
+
+def test_deepfm_learns_with_validation_and_early_stopping():
+    schema, data = synthetic_ctr(num_examples=6000, num_dense=4, num_sparse=6,
+                                 vocab_size=30, embed_dim=4, seed=2)
+    train, test = _split(data)
+    tr = Trainer(DeepFM(schema, hidden_units=(32, 16)), learning_rate=1e-2)
+    hist = tr.fit(train, batch_size=256, epochs=5, validation_split=0.1,
+                  early_stopping_patience=1, verbose=False)
+    assert "val_loss" in hist and len(hist["val_loss"]) >= 1
+    auc = tr.evaluate_auc(test)
+    assert auc > 0.65, f"DeepFM AUC too low: {auc}"
+
+
+def test_mmoe_multitask_training():
+    schema, data = synthetic_multitask(num_examples=4000, num_sparse=5,
+                                       vocab_size=20, seed=3)
+    flat = {"sparse": data["sparse"], **{f"label_{k}": v for k, v in data["labels"].items()}}
+    train, test = {}, {}
+    cut = 3200
+    for k, v in flat.items():
+        train[k], test[k] = v[:cut], v[cut:]
+
+    def loss_fn(outputs, batch):
+        return losses.multi_task_bce(
+            outputs, {"ctr": batch["label_ctr"], "cvr": batch["label_cvr"]}
+        )
+
+    tr = Trainer(MMoE(schema, task_names=("ctr", "cvr"), num_experts=4,
+                      expert_units=(32, 16), tower_units=(16,)),
+                 loss_fn=loss_fn, learning_rate=1e-2)
+    hist = tr.fit(train, batch_size=256, epochs=4, verbose=False)
+    assert hist["loss"][-1] < hist["loss"][0]
+    import jax.numpy as jnp
+    import jax
+    preds = tr.predict(test)
+    from recsys_tpu.train.metrics import auc_exact
+    a = auc_exact(np.asarray(jax.nn.sigmoid(jnp.asarray(preds["ctr"]))), test["label_ctr"])
+    assert a > 0.6, f"MMoE ctr AUC too low: {a}"
+
+
+def test_predict_handles_remainder_batches():
+    schema, data = synthetic_ctr(num_examples=1000, num_dense=2, num_sparse=3,
+                                 vocab_size=10, embed_dim=4)
+    tr = Trainer(FM(schema))
+    tr.fit(data, batch_size=256, epochs=1, verbose=False)
+    preds = tr.predict(data, batch_size=300)
+    assert len(preds) == 1000
