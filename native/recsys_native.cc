@@ -1,0 +1,156 @@
+// Native data-pipeline kernels for the TPU recommender framework.
+//
+// The reference's L1 is pandas/sklearn (SURVEY.md §2.3) — single-threaded
+// Python that becomes the bottleneck once the TPU step is sub-10ms.  This
+// library provides the hot host-side paths as a C ABI consumed via ctypes
+// (recsys_tpu/data/native.py):
+//
+//   * criteo CSV/TSV parsing: label + 13 dense ints + 26 categorical tokens
+//     hashed to int64 (streaming, multithread-friendly chunk API)
+//   * feature hashing (FNV-1a 64) matching the Python fallback bit-for-bit
+//   * uniform negative sampling with per-user exclusion sets (the NCF /
+//     SASRec protocol: n true negatives per positive, never a positive —
+//     fixes reference bug §2.6.11)
+//   * Fisher-Yates batch shuffling with a seeded PCG32 (deterministic)
+//
+// Build: `make -C native` (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <unordered_set>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- hashing
+static inline uint64_t fnv1a64(const char* s, size_t n) {
+  uint64_t h = 1469598103934665603ULL;
+  for (size_t i = 0; i < n; ++i) {
+    h ^= (uint64_t)(unsigned char)s[i];
+    h *= 1099511628211ULL;
+  }
+  return h;
+}
+
+// hash a batch of NUL-separated tokens into [0, num_buckets)
+void hash_tokens(const char* buf, const int64_t* offsets, int64_t n,
+                 int64_t num_buckets, int32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const char* s = buf + offsets[i];
+    const char* e = buf + offsets[i + 1];
+    uint64_t h = fnv1a64(s, (size_t)(e - s));
+    out[i] = (int32_t)(h % (uint64_t)num_buckets);
+  }
+}
+
+// ------------------------------------------------------------- csv parsing
+// Parse criteo rows: "label,I1..I13,C1..C26" (sep ',' or '\t').  Missing
+// dense -> dense_fill; missing cat -> hash of "" bucket.  Returns rows
+// parsed.  dense is min-max-scaled LATER (two-pass handled by caller);
+// here raw float values are emitted.
+int64_t parse_criteo(const char* path, char sep, int64_t max_rows,
+                     int64_t cat_buckets, int skip_header,
+                     float* labels, float* dense /* (rows,13) */,
+                     int32_t* sparse /* (rows,26) */) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  char* line = nullptr;
+  size_t cap = 0;
+  int64_t row = 0;
+  if (skip_header) {
+    if (getline(&line, &cap, f) < 0) {
+      fclose(f);
+      free(line);
+      return 0;
+    }
+  }
+  while (row < max_rows) {
+    ssize_t len = getline(&line, &cap, f);
+    if (len < 0) break;
+    char* p = line;
+    char* end = line + len;
+    // strip newline
+    while (end > p && (end[-1] == '\n' || end[-1] == '\r')) --end;
+    int field = 0;
+    char* tok = p;
+    for (char* q = p; q <= end && field < 40; ++q) {
+      if (q == end || *q == sep) {
+        size_t tl = (size_t)(q - tok);
+        if (field == 0) {
+          labels[row] = tl ? (float)atof(tok) : 0.f;
+        } else if (field <= 13) {
+          dense[row * 13 + (field - 1)] = tl ? (float)atof(tok) : 0.f;
+        } else {
+          uint64_t h = fnv1a64(tok, tl);
+          sparse[row * 26 + (field - 14)] =
+              (int32_t)(h % (uint64_t)cat_buckets);
+        }
+        ++field;
+        tok = q + 1;
+      }
+    }
+    if (field >= 14) ++row;  // tolerate truncated cat tail, skip junk lines
+  }
+  free(line);
+  fclose(f);
+  return row;
+}
+
+// --------------------------------------------------------------- PCG32 rng
+struct Pcg32 {
+  uint64_t state, inc;
+};
+static inline uint32_t pcg32_next(Pcg32* r) {
+  uint64_t old = r->state;
+  r->state = old * 6364136223846793005ULL + r->inc;
+  uint32_t xorshifted = (uint32_t)(((old >> 18u) ^ old) >> 27u);
+  uint32_t rot = (uint32_t)(old >> 59u);
+  return (xorshifted >> rot) | (xorshifted << ((-rot) & 31));
+}
+static inline uint32_t pcg32_below(Pcg32* r, uint32_t bound) {
+  uint32_t threshold = (uint32_t)(-bound) % bound;
+  for (;;) {
+    uint32_t x = pcg32_next(r);
+    if (x >= threshold) return x % bound;
+  }
+}
+
+// ------------------------------------------------------ negative sampling
+// For each of n_queries, draw n_neg uniform items from [lo, hi) that are
+// NOT in that query's exclusion list.  Exclusion lists are CSR:
+// excl_ids[excl_off[i] .. excl_off[i+1]).  out is (n_queries, n_neg).
+void sample_negatives(int64_t n_queries, int32_t n_neg, int32_t lo,
+                      int32_t hi, const int32_t* excl_ids,
+                      const int64_t* excl_off, uint64_t seed,
+                      int32_t* out) {
+  for (int64_t i = 0; i < n_queries; ++i) {
+    Pcg32 rng{seed + (uint64_t)i * 0x9E3779B97F4A7C15ULL, 0xDA3E39CB94B95BDBULL | 1};
+    std::unordered_set<int32_t> excl(excl_ids + excl_off[i],
+                                     excl_ids + excl_off[i + 1]);
+    uint32_t range = (uint32_t)(hi - lo);
+    for (int32_t j = 0; j < n_neg; ++j) {
+      int32_t cand;
+      do {
+        cand = lo + (int32_t)pcg32_below(&rng, range);
+      } while (excl.count(cand));
+      out[i * n_neg + j] = cand;
+    }
+  }
+}
+
+// ------------------------------------------------------------- shuffling
+// Deterministic Fisher-Yates permutation of [0, n).
+void shuffle_indices(int64_t n, uint64_t seed, int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = i;
+  Pcg32 rng{seed, 0xDA3E39CB94B95BDBULL | 1};
+  for (int64_t i = n - 1; i > 0; --i) {
+    int64_t j = (int64_t)pcg32_below(&rng, (uint32_t)(i + 1));
+    int64_t t = out[i];
+    out[i] = out[j];
+    out[j] = t;
+  }
+}
+
+}  // extern "C"

@@ -298,10 +298,77 @@ def run_sasrec(args):
     print(f"test HR@10={float(hr):.4f} NDCG@10={float(ndcg):.4f}")
 
 
+def run_seq_retrieval(args):
+    """YoutubeDNN / MIND: in-batch sampled-softmax training + recall@10 over
+    the full catalog (brute-force top-k engine)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_tpu.core.features import FeatureSchema, VarLenSparseFeature
+    from recsys_tpu.data.movielens import (
+        build_seq_retrieval_dataset,
+        synthetic_ratings,
+    )
+    from recsys_tpu.train import losses
+    from recsys_tpu.train.loop import Trainer
+    from recsys_tpu.train.metrics import recall_at_k
+    from recsys_tpu.train.retrieval import topk_scores
+
+    if args.ratings:
+        import pandas as pd
+
+        ratings = pd.read_csv(
+            args.ratings, sep="\t",
+            names=["user_id", "item_id", "rating", "timestamp"],
+        ) if args.ratings.endswith(".data") else pd.read_csv(args.ratings)
+        ratings = ratings.rename(
+            columns={"userId": "user_id", "movieId": "item_id"}
+        )
+    else:
+        ratings = synthetic_ratings(num_users=300, num_items=150)
+    ni, train, test = build_seq_retrieval_dataset(ratings, maxlen=args.maxlen)
+
+    if args.model == "mind":
+        from recsys_tpu.models.match.mind import MIND
+
+        model = MIND(num_items=ni, embed_dim=args.embed_dim * 4, k_max=4)
+    else:
+        from recsys_tpu.models.match.youtube_dnn import YoutubeDNN
+
+        schema = FeatureSchema(
+            varlen=[VarLenSparseFeature("hist_item", ni, args.embed_dim * 4,
+                                        max_len=args.maxlen)]
+        )
+        model = YoutubeDNN(schema, num_items=ni, embed_dim=args.embed_dim * 4)
+
+    def loss_fn(out, batch):
+        return losses.in_batch_sampled_softmax(out["user"], out["item"])
+
+    tr = Trainer(model, loss_fn=loss_fn, learning_rate=args.lr)
+    tr.fit(train, batch_size=args.batch_size or 256, epochs=args.epochs,
+           verbose=True)
+
+    variables = {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
+    items = model.apply(variables, method=model.all_item_embeddings)
+    if args.model == "mind":
+        caps = model.apply(variables, {"hist": jnp.asarray(test["hist"])},
+                           method=model.interests)  # (B, K, D)
+        scores = jnp.einsum("bkd,nd->bkn", caps, items).max(axis=1)
+        _, I = jax.lax.top_k(scores, 10)
+    else:
+        u = model.apply(variables, {"hist": jnp.asarray(test["hist"])},
+                        method=model.user_embed)
+        _, I = topk_scores(u, items, k=10)
+    import numpy as np
+
+    r = recall_at_k(np.asarray(I), test["item_id"])
+    print(f"recall@10: {r:.4f} over {ni} items (random {10 / ni:.4f})")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="recsys_tpu")
     p.add_argument("task", choices=["ctr", "din", "multitask", "match",
-                                    "ncf", "sasrec"])
+                                    "ncf", "sasrec", "youtube", "mind"])
     p.add_argument("--model", default="fm")
     p.add_argument("--data", default=None, help="criteo csv path")
     p.add_argument("--reviews", default=None)
@@ -316,6 +383,8 @@ def main(argv=None):
     p.add_argument("--maxlen", type=int, default=50)
     p.add_argument("--sample-num", type=int, default=0)
     args = p.parse_args(argv)
+    if args.task in ("youtube", "mind"):
+        args.model = "mind" if args.task == "mind" else "youtube"
     {
         "ctr": run_ctr,
         "din": run_din,
@@ -323,6 +392,8 @@ def main(argv=None):
         "match": run_match,
         "ncf": run_ncf,
         "sasrec": run_sasrec,
+        "youtube": run_seq_retrieval,
+        "mind": run_seq_retrieval,
     }[args.task](args)
 
 

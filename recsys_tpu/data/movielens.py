@@ -270,6 +270,49 @@ def create_ncf_dataset(path: str, **kw):
     return build_ncf_dataset(ratings, **kw)
 
 
+def build_seq_retrieval_dataset(
+    ratings: pd.DataFrame,
+    maxlen: int = 20,
+    min_item_count: int = 2,
+    seed: int = 2020,
+):
+    """Sequence retrieval protocol for YoutubeDNN / MIND: predict the next
+    item from the padded watch history; in-batch softmax supplies negatives.
+
+    Returns (num_items, train, test): {'hist': (N, L), 'item_id': (N,)} with
+    item ids 1..V (0 = pad); per-user last item held out for test
+    (leave-last, matching the retrieval eval of the reference's match zoo).
+    """
+    counts = ratings["item_id"].value_counts()
+    keep = counts[counts >= min_item_count].index
+    df = ratings[ratings["item_id"].isin(keep)].copy()
+    item_ids = np.sort(df["item_id"].unique())
+    remap = {v: i + 1 for i, v in enumerate(item_ids)}
+    df["iid"] = df["item_id"].map(remap)
+    num_items = len(item_ids) + 1
+    df = df.sort_values(["user_id", "timestamp"], kind="mergesort")
+    seqs = df.groupby("user_id")["iid"].apply(list)
+
+    def pad(seq):
+        seq = seq[-maxlen:]
+        return np.asarray([0] * (maxlen - len(seq)) + seq, np.int32)
+
+    tr_h, tr_t, te_h, te_t = [], [], [], []
+    for _, seq in seqs.items():
+        if len(seq) < 3:
+            continue
+        for t in range(1, len(seq) - 1):
+            tr_h.append(pad(seq[:t]))
+            tr_t.append(seq[t])
+        te_h.append(pad(seq[:-1]))
+        te_t.append(seq[-1])
+
+    def pack(h, t):
+        return {"hist": np.stack(h), "item_id": np.asarray(t, np.int32)}
+
+    return num_items, pack(tr_h, tr_t), pack(te_h, te_t)
+
+
 def synthetic_ratings(
     num_users: int = 200,
     num_items: int = 100,

@@ -17,4 +17,5 @@ def use_pallas() -> bool:
     forced = os.environ.get("RECSYS_TPU_FORCE_PALLAS")
     if forced is not None:
         return forced not in ("0", "false", "")
-    return jax.default_backend() == "tpu"
+    # "axon" is the tunnelled TPU PJRT plugin used in this environment
+    return jax.default_backend() in ("tpu", "axon")

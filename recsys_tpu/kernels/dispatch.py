@@ -1,0 +1,192 @@
+"""Dispatch layer: jnp reference ops with Pallas TPU forwards + custom VJPs.
+
+Public entry points mirror the reference ops in kernels/{interactions,
+attention,embedding}.py.  On TPU (``use_pallas()``) the forward runs the
+fused Pallas kernel; backward passes are closed-form jnp expressions (exact,
+not approximations), so every op trains under jax.grad.  Off-TPU the jnp
+reference runs directly.  ``interpret=True`` forces the kernel path in
+interpreter mode for CPU testing.
+
+custom_vjp primitives take positional-only args (jax restriction); the
+public wrappers restore keyword ergonomics.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from recsys_tpu.kernels import attention as attn_ref
+from recsys_tpu.kernels import embedding as emb_ref
+from recsys_tpu.kernels import interactions as int_ref
+from recsys_tpu.kernels import use_pallas
+
+
+# -- FM bi-interaction ------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _fm_vec(field_embs, interpret):
+    if use_pallas() or interpret:
+        from recsys_tpu.kernels.pallas.interactions_tpu import (
+            fm_pairwise_vector_pallas,
+        )
+
+        return fm_pairwise_vector_pallas(field_embs, interpret=interpret)
+    return int_ref.fm_pairwise_vector(field_embs)
+
+
+def _fm_fwd(x, interpret):
+    return _fm_vec(x, interpret), x
+
+
+def _fm_bwd(interpret, x, g):
+    # y_d = 0.5((sum_f x_fd)^2 - sum_f x_fd^2) ; dy_d/dx_fd = (sum_f' x) - x_f
+    s = jnp.sum(x, axis=1, keepdims=True)  # (B, 1, D)
+    return (g[:, None, :] * (s - x),)
+
+
+_fm_vec.defvjp(_fm_fwd, _fm_bwd)
+
+
+def fm_pairwise_vector(field_embs, *, interpret: bool = False):
+    return _fm_vec(field_embs, interpret)
+
+
+def fm_pairwise(field_embs, *, interpret: bool = False):
+    return jnp.sum(_fm_vec(field_embs, interpret), axis=-1)
+
+
+# -- DLRM dot-interaction ---------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _dot(vectors, self_interaction, interpret):
+    if use_pallas() or interpret:
+        from recsys_tpu.kernels.pallas.interactions_tpu import (
+            dot_interaction_pallas,
+        )
+
+        return dot_interaction_pallas(
+            vectors, self_interaction=self_interaction, interpret=interpret
+        )
+    return int_ref.dot_interaction(vectors, self_interaction=self_interaction)
+
+
+def _dot_fwd(x, self_interaction, interpret):
+    return _dot(x, self_interaction, interpret), x
+
+
+def _dot_bwd(self_interaction, interpret, x, g):
+    b, f, d = x.shape
+    rows, cols = jnp.tril_indices(f, k=0 if self_interaction else -1)
+    gram_g = jnp.zeros((b, f, f), g.dtype).at[:, rows, cols].set(g)
+    sym = gram_g + jnp.swapaxes(gram_g, 1, 2)  # d<x_i,x_j> hits both slots
+    return (jnp.einsum("bfg,bgd->bfd", sym, x),)
+
+
+_dot.defvjp(_dot_fwd, _dot_bwd)
+
+
+def dot_interaction(vectors, *, self_interaction: bool = False,
+                    interpret: bool = False):
+    return _dot(vectors, self_interaction, interpret)
+
+
+# -- fused masked attention -------------------------------------------------
+def _full_mask(mask, q, k, causal):
+    sq, sk = q.shape[-2], k.shape[-2]
+    m = None
+    if mask is not None:
+        m = mask[:, None, None, :].astype(bool)
+    if causal:
+        c = jnp.arange(sq)[:, None] >= jnp.arange(sk)[None, :]
+        m = c if m is None else m & c
+    return m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sdpa(q, k, v, mask, causal, interpret):
+    if use_pallas() or interpret:
+        from recsys_tpu.kernels.pallas.attention_tpu import flash_attention
+
+        return flash_attention(
+            q, k, v, mask, causal=causal, interpret=interpret
+        )
+    return attn_ref.sdpa(q, k, v, _full_mask(mask, q, k, causal))
+
+
+def _sdpa_fwd(q, k, v, mask, causal, interpret):
+    return _sdpa(q, k, v, mask, causal, interpret), (q, k, v, mask)
+
+
+def _sdpa_bwd(causal, interpret, res, g):
+    # exact recompute backward in jnp (O(S^2) memory only during backward)
+    q, k, v, mask = res
+
+    def ref(q, k, v):
+        return attn_ref.sdpa(q, k, v, _full_mask(mask, q, k, causal))
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g.astype(q.dtype))
+    return dq, dk, dv, None
+
+
+_sdpa.defvjp(_sdpa_fwd, _sdpa_bwd)
+
+
+def sdpa(q, k, v, mask=None, *, causal: bool = False,
+         interpret: bool = False):
+    """Fused attention over (B, H, S, D); mask is a (B, Sk) key-padding mask
+    (1 = attend) or None."""
+    return _sdpa(q, k, v, mask, causal, interpret)
+
+
+# -- pooled embedding gather ------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ssg(table, rows, mask, mode, interpret):
+    # Mosaic's per-row DMA needs the embedding width lane-aligned (128);
+    # narrower tables route to XLA's fused gather+reduce (already good).
+    aligned = table.shape[1] % 128 == 0
+    if (use_pallas() and aligned) or interpret:
+        from recsys_tpu.kernels.pallas.embedding_tpu import pooled_gather_pallas
+
+        return pooled_gather_pallas(
+            table, rows, mask, mode=mode, interpret=interpret
+        )
+    return emb_ref.segment_sum_gather(table, rows, mask, mode=mode)
+
+
+def _ssg_fwd(table, rows, mask, mode, interpret):
+    return _ssg(table, rows, mask, mode, interpret), (
+        table.shape, rows, mask,
+    )
+
+
+def _ssg_bwd(mode, interpret, res, g):
+    (v, d), rows, mask = res
+    m = mask.astype(g.dtype)  # (B, L)
+    if mode == "mean":
+        count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        w = m / count
+    elif mode == "sqrtn":
+        count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        w = m / jnp.sqrt(count)
+    else:
+        w = m
+    per_row = g[:, None, :] * w[..., None]  # (B, L, D)
+    dtable = jnp.zeros((v, d), g.dtype).at[rows.reshape(-1)].add(
+        per_row.reshape(-1, d)
+    )
+    return dtable, None, None
+
+
+_ssg.defvjp(_ssg_fwd, _ssg_bwd)
+
+
+def segment_sum_gather(table, rows, mask, *, mode: str = "mean",
+                       interpret: bool = False):
+    return _ssg(table, rows, mask, mode, interpret)
+
+
+def gather(table, rows):
+    """Plain row gather — XLA's native dynamic-gather is the TPU-optimal
+    path for this op; kept here so callers use one import site."""
+    return emb_ref.gather(table, rows)

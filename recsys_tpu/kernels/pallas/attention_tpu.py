@@ -1,0 +1,154 @@
+"""Pallas TPU kernel: fused masked attention (flash-style online softmax).
+
+Fused SDPA for the framework's attention ops (AutoInt interacting layers,
+SASRec encoder blocks, DIN target attention) replacing the materialised
+(S_q, S_k) logits + softmax + matmul of the jnp reference
+(recsys_tpu/kernels/attention.py) with a blockwise kernel: Q blocks stay in
+VMEM while K/V blocks stream; softmax is computed online (running max and
+normaliser), so HBM traffic is O(S) not O(S^2) — the long-history SASRec
+scaling path SURVEY.md §5 calls for.
+
+Supports a key-padding mask (B, S_k) and optional causal masking.
+Grid: (batch*heads, q_blocks, k_blocks); k is the innermost (fastest)
+dimension, so the VMEM accumulator scratch carries across the k sweep.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref,
+    *, scale: float, causal: bool, blk_q: int, blk_k: int, sk: int,
+):
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # key positions past the real sequence end are block padding: their k/v
+    # contents are undefined (can be NaN) — exclude them everywhere and zero
+    # v so 0-weight x garbage can't produce NaN.
+    k_ids_row = jax.lax.broadcasted_iota(jnp.int32, (blk_k, 1), 0)[:, 0] + kb * blk_k
+    k_valid = k_ids_row < sk  # (blk_k,)
+
+    q = q_ref[0].astype(jnp.float32)  # (blk_q, D)
+    k = k_ref[0].astype(jnp.float32)  # (blk_k, D)
+    v = v_ref[0].astype(jnp.float32)  # (blk_k, D)
+    v = jnp.where(k_valid[:, None], v, 0.0)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (blk_q, blk_k)
+
+    # mask block carries ALL bh rows (Mosaic tiling forbids a 1-row block);
+    # select this program's row dynamically
+    g = pl.program_id(0)
+    row = mask_ref[pl.ds(g, 1), :]  # (1, blk_k)
+    kmask = (row[0] > 0) & k_valid  # (blk_k,)
+    s = jnp.where(kmask[None, :].reshape(1, -1), s, NEG_INF)
+    if causal:
+        qb = pl.program_id(1)
+        q_ids = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0) + qb * blk_q
+        k_ids = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1) + kb * blk_k
+        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+
+    m_prev = m_ref[:]  # (blk_q, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # guard: when every key so far is masked m_new == NEG_INF and the naive
+    # exp(s - m_new) would be exp(0) = 1 for masked entries
+    p = jnp.where(s > NEG_INF / 2, jnp.exp(s - m_new), 0.0)
+    correction = jnp.exp(m_prev - m_new)  # (blk_q, 1)
+    l_ref[:] = l_ref[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        # fully-masked rows have l == 0; emit 0 (matches masked-out queries)
+        l = l_ref[:]
+        out_ref[0] = jnp.where(l > 0, acc_ref[:] / jnp.maximum(l, 1e-30), 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    *,
+    causal: bool = False,
+    blk_q: int = 128,
+    blk_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q (B, H, Sq, D), k/v (B, H, Sk, D), mask (B, Sk) key-padding
+    (1 = attend).  Returns (B, H, Sq, D) in q's dtype."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scale = 1.0 / (d ** 0.5)
+
+    blk_q = min(blk_q, sq)
+    blk_k = min(blk_k, sk)
+    bh = b * h
+    qr = q.reshape(bh, sq, d)
+    kr = k.reshape(bh, sk, d)
+    vr = v.reshape(bh, sk, d)
+    if mask is None:
+        mask = jnp.ones((b, sk), jnp.int32)
+    maskr = jnp.repeat(mask.astype(jnp.int32), h, axis=0)  # (bh, Sk)
+
+    grid = (bh, pl.cdiv(sq, blk_q), pl.cdiv(sk, blk_k))
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, causal=causal,
+            blk_q=blk_q, blk_k=blk_k, sk=sk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, blk_q, d), lambda g, i, j: (g, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, blk_k, d), lambda g, i, j: (g, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, blk_k, d), lambda g, i, j: (g, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bh, blk_k), lambda g, i, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q, d), lambda g, i, j: (g, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, d), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qr, kr, vr, maskr)
+    return out.reshape(b, h, sq, d).astype(q.dtype)

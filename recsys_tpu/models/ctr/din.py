@@ -10,8 +10,13 @@ target-attention semantics of the reference's own AttentionLayer
 queries the history, padding masked, softmax-weighted sum.
 
 Batch layout: ``sparse`` (B, F) where column ``target_index`` is the
-candidate item id, ``hist`` (B, L) history ids padded with the varlen
-field's pad_id, optional ``dense``.
+candidate item id (and, when the category stream is used, column
+``target_index + 1`` its category), ``hist`` (B, L) history item ids padded
+with the varlen field's pad_id, optional ``hist_cate`` (B, L) category ids
+aligned with ``hist`` (the Amazon protocol emits both), optional ``dense``.
+When the category stream is present the attention keys/query are the
+CONCAT of item and category embeddings — the published DIN's
+[item_emb, cate_emb] goods representation.
 """
 from __future__ import annotations
 
@@ -29,6 +34,7 @@ from recsys_tpu.ops.mlp import Dice, PReLU
 class DIN(nn.Module):
     schema: FeatureSchema
     hist_field: str = "hist_item"
+    hist_cate_field: str = "hist_cate"
     target_index: int = 0  # column of `sparse` holding the candidate item
     att_hidden_units: Sequence[int] = (32, 16)
     ffn_hidden_units: Sequence[int] = (80, 40)
@@ -38,6 +44,7 @@ class DIN(nn.Module):
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense, hist = batch["sparse"], batch.get("dense"), batch["hist"]
+        hist_cate = batch.get("hist_cate")
         table = StackedEmbedding(self.schema)
         field_embs = table(sparse)  # (B, F, D)
         target_emb = field_embs[:, self.target_index, :]  # (B, D)
@@ -45,6 +52,13 @@ class DIN(nn.Module):
         hist_cfg = self.schema.field(self.hist_field)
         hist_embs = table.lookup(self.hist_field, hist)  # (B, L, D)
         mask = hist != hist_cfg.pad_id  # (B, L)
+        if hist_cate is not None:
+            # goods representation = [item_emb ; cate_emb] for keys & query
+            cate_embs = table.lookup(self.hist_cate_field, hist_cate)
+            hist_embs = jnp.concatenate([hist_embs, cate_embs], axis=-1)
+            target_emb = jnp.concatenate(
+                [target_emb, field_embs[:, self.target_index + 1, :]], axis=-1
+            )
         att_pooled = TargetAttention(tuple(self.att_hidden_units))(
             target_emb, hist_embs, mask
         )

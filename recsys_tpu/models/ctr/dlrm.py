@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from recsys_tpu.core.features import FeatureSchema
-from recsys_tpu.kernels import interactions as ikernels
+from recsys_tpu.kernels import dispatch as ikernels
 from recsys_tpu.ops.embedding import StackedEmbedding
 from recsys_tpu.ops.mlp import MLP
 

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from recsys_tpu.core.features import FeatureSchema
+from recsys_tpu.kernels import dispatch as dkernels
 from recsys_tpu.kernels import embedding as ekernels
 from recsys_tpu.ops.embedding import StackedEmbedding
 from recsys_tpu.ops.mlp import MLP
@@ -52,9 +53,12 @@ class YoutubeDNN(nn.Module):
         hist = batch["hist"]  # (B, L)
         pad_id = self.user_schema.field(self.hist_field).pad_id
         mask = hist != pad_id
-        rows = hist.astype(jnp.int32) + self.user_schema.offset(self.hist_field)
-        pooled = ekernels.segment_sum_gather(
-            self.user_table.table, rows, mask, mode=self.pooling
+        rows = hist.astype(jnp.int32) + self.user_table.field_offset(
+            self.hist_field
+        )
+        pooled = dkernels.segment_sum_gather(
+            self.user_table.table_for(self.hist_field), rows, mask,
+            mode=self.pooling,
         )  # (B, D)
         parts = [pooled]
         if "user_sparse" in batch and batch["user_sparse"].shape[-1] > 0:

@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from recsys_tpu.kernels import attention as akernels
+from recsys_tpu.kernels import dispatch as dkernels
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -54,9 +55,9 @@ class MultiHeadAttention(nn.Module):
         k = nn.Dense(dim, use_bias=False, name="wk")(k_in)
         v = nn.Dense(dim, use_bias=False, name="wv")(v_in)
         qh, kh, vh = (split_heads(t, self.num_heads) for t in (q, k, v))
-        if mask is not None and mask.ndim == 2:  # (B, S_k) key-padding mask
-            mask = mask[:, None, None, :]
-        out = merge_heads(akernels.sdpa(qh, kh, vh, mask))
+        # mask contract: (B, S_k) key-padding mask (1 = attend) or None;
+        # the dispatch layer routes to the fused Pallas kernel on TPU
+        out = merge_heads(dkernels.sdpa(qh, kh, vh, mask))
         if self.out_proj:
             out = nn.Dense(dim, name="wo")(out)
         if self.use_residual:

@@ -11,7 +11,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from recsys_tpu.kernels import interactions as ikernels
+from recsys_tpu.kernels import dispatch as ikernels
 
 
 class FMInteraction(nn.Module):

@@ -94,6 +94,61 @@ def topk_scores_sharded(
     return fn(query_embs, item_embs)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile", "normalize"))
+def topk_scores_streaming(
+    query_embs: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int = 10,
+    tile: int = 8192,
+    normalize: bool = False,
+):
+    """Memory-bounded top-k: stream the catalog in tiles with a lax.scan,
+    merging each tile's scores into a running (Q, k) candidate set.
+
+    Peak memory is O(Q * (tile + k)) instead of the O(Q * N) score matrix of
+    :func:`topk_scores` — the single-chip path for catalogs where Q*N scores
+    would blow HBM (N ~ millions).
+    """
+    if normalize:
+        query_embs = _l2(query_embs)
+        item_embs = _l2(item_embs)
+    n, d = item_embs.shape
+    q = query_embs.shape[0]
+    pad = (-n) % tile
+    if pad:
+        item_embs = jnp.concatenate(
+            [item_embs, jnp.zeros((pad, d), item_embs.dtype)], axis=0
+        )
+    tiles = item_embs.reshape(-1, tile, d)
+    pos_ids = jnp.arange(tile)
+
+    def body(carry, xs):
+        best_v, best_i = carry
+        tile_items, tile_idx = xs
+        scores = jnp.einsum(
+            "qd,nd->qn", query_embs, tile_items,
+            preferred_element_type=jnp.float32,
+        )
+        ids = tile_idx * tile + pos_ids
+        valid = ids < n
+        scores = jnp.where(valid[None, :], scores, -jnp.inf)
+        cat_v = jnp.concatenate([best_v, scores], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids[None, :], (q, tile))], axis=1
+        )
+        v, sel = jax.lax.top_k(cat_v, k)
+        return (v, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    init = (
+        jnp.full((q, k), -jnp.inf, jnp.float32),
+        jnp.zeros((q, k), jnp.int32),
+    )
+    (v, i), _ = jax.lax.scan(
+        body, init, (tiles, jnp.arange(tiles.shape[0]))
+    )
+    return v, i
+
+
 def _l2(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 

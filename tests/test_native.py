@@ -1,0 +1,57 @@
+"""Native data-pipeline library (C++ via ctypes) and its Python fallback."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from recsys_tpu.data import native
+
+
+def test_negative_sampling_excludes_positives():
+    excl = [[1, 2, 3], [4, 5], []]
+    neg = native.sample_negatives(excl, 50, 0, 10, seed=3)
+    assert neg.shape == (3, 50)
+    assert not set(neg[0].tolist()) & {1, 2, 3}
+    assert not set(neg[1].tolist()) & {4, 5}
+    assert neg.min() >= 0 and neg.max() < 10
+
+
+def test_shuffle_is_permutation_and_deterministic():
+    a = native.shuffle_indices(1000, seed=42)
+    b = native.shuffle_indices(1000, seed=42)
+    c = native.shuffle_indices(1000, seed=43)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    np.testing.assert_array_equal(np.sort(a), np.arange(1000))
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_parse_criteo_native():
+    rows = [
+        "label," + ",".join(f"I{i}" for i in range(1, 14)) + ","
+        + ",".join(f"C{i}" for i in range(1, 27))
+    ]
+    rng = np.random.default_rng(0)
+    n = 500
+    want_labels, want_d0 = [], []
+    for _ in range(n):
+        label = int(rng.integers(0, 2))
+        dense = [str(int(rng.integers(0, 100))) for _ in range(13)]
+        cats = [f"v{int(rng.integers(0, 50))}" for _ in range(26)]
+        want_labels.append(label)
+        want_d0.append(float(dense[0]))
+        rows.append(",".join([str(label)] + dense + cats))
+    # a missing-value row
+    rows.append("1," + "," * 12 + "," + "," * 25)
+    path = os.path.join(tempfile.mkdtemp(), "criteo.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    labels, dense, sparse = native.parse_criteo(path, cat_buckets=1 << 12)
+    assert len(labels) == n + 1
+    np.testing.assert_array_equal(labels[:n], want_labels)
+    np.testing.assert_allclose(dense[:n, 0], want_d0)
+    assert labels[n] == 1.0 and dense[n].sum() == 0.0
+    assert sparse.min() >= 0 and sparse.max() < (1 << 12)
+    # identical tokens hash identically across columns
+    assert len(np.unique(sparse)) < 60 * 26

@@ -69,3 +69,15 @@ def test_sharded_topk_matches_dense(mesh_4x2):
     sv, si = topk_scores_sharded(mesh_4x2, q, items, k=5)
     np.testing.assert_allclose(np.asarray(sv), np.asarray(dv), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+
+
+def test_streaming_topk_matches_dense():
+    from recsys_tpu.train.retrieval import topk_scores_streaming
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(6, 8)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(101, 8)), jnp.float32)
+    dv, di = topk_scores(q, items, k=7)
+    sv, si = topk_scores_streaming(q, items, k=7, tile=32)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(dv), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
