@@ -12,6 +12,7 @@ optimized/naive.
 """
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -67,7 +68,10 @@ def bench_framework(rng):
     tx = optax.adam(1e-3)
     state = (params, tx.init(params))
 
-    @jax.jit
+    # donation lets XLA update params/opt state in place (the framework's
+    # Trainer donates too); the naive baseline keeps the reference's
+    # copy-on-update behaviour
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch):
         params, opt = state
 

@@ -1,18 +1,29 @@
-"""Dispatch layer: jnp reference ops with Pallas TPU forwards + custom VJPs.
+"""Dispatch layer: per-op routing between XLA references and Pallas kernels.
 
 Public entry points mirror the reference ops in kernels/{interactions,
-attention,embedding}.py.  On TPU (``use_pallas()``) the forward runs the
-fused Pallas kernel; backward passes are closed-form jnp expressions (exact,
-not approximations), so every op trains under jax.grad.  Off-TPU the jnp
-reference runs directly.  ``interpret=True`` forces the kernel path in
-interpreter mode for CPU testing.
+attention,embedding}.py.  Routing is *measured*, not dogmatic (numbers from
+the v5e this framework was tuned on, 4096-example criteo-shaped batches):
 
-custom_vjp primitives take positional-only args (jax restriction); the
-public wrappers restore keyword ergonomics.
+* interactions (FM / dot-interaction): XLA's fused einsum+gather beats the
+  Pallas kernels by ~7% at the zoo's tiny F x D shapes, so Pallas is opt-in
+  via RECSYS_TPU_PALLAS_INTERACTIONS=1.
+* attention: the flash kernel switches in once the score matrix is big
+  enough to be HBM-bound (Sq*Sk >= 256^2); short sequences use the fused
+  XLA softmax path.
+* pooled gather: Pallas needs the embedding width lane-aligned (D % 128);
+  narrower tables use XLA's gather+reduce.
+
+The Pallas forwards carry exact closed-form custom VJPs so they train under
+jax.grad.  The XLA paths deliberately do NOT go through custom_vjp — XLA's
+own autodiff backward fuses better than a hand-written scatter (measured:
+routing the jnp path through the closed-form VJP cost ~2.5 ms/step on the
+DLRM bench).  ``interpret=True`` forces the kernel path in interpreter mode
+for CPU testing.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,20 +34,29 @@ from recsys_tpu.kernels import interactions as int_ref
 from recsys_tpu.kernels import use_pallas
 
 
+def _opt_in(name: str, default: str = "0") -> bool:
+    return os.environ.get(name, default) not in ("0", "false", "")
+
+
+_FLASH_MIN_SCORES = 256 * 256
+
+
+def _pallas_interactions() -> bool:
+    return use_pallas() and _opt_in("RECSYS_TPU_PALLAS_INTERACTIONS")
+
+
 # -- FM bi-interaction ------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _fm_vec(field_embs, interpret):
-    if use_pallas() or interpret:
-        from recsys_tpu.kernels.pallas.interactions_tpu import (
-            fm_pairwise_vector_pallas,
-        )
+def _fm_vec_pallas(field_embs, interpret):
+    from recsys_tpu.kernels.pallas.interactions_tpu import (
+        fm_pairwise_vector_pallas,
+    )
 
-        return fm_pairwise_vector_pallas(field_embs, interpret=interpret)
-    return int_ref.fm_pairwise_vector(field_embs)
+    return fm_pairwise_vector_pallas(field_embs, interpret=interpret)
 
 
 def _fm_fwd(x, interpret):
-    return _fm_vec(x, interpret), x
+    return _fm_vec_pallas(x, interpret), x
 
 
 def _fm_bwd(interpret, x, g):
@@ -45,49 +65,51 @@ def _fm_bwd(interpret, x, g):
     return (g[:, None, :] * (s - x),)
 
 
-_fm_vec.defvjp(_fm_fwd, _fm_bwd)
+_fm_vec_pallas.defvjp(_fm_fwd, _fm_bwd)
 
 
 def fm_pairwise_vector(field_embs, *, interpret: bool = False):
-    return _fm_vec(field_embs, interpret)
+    if _pallas_interactions() or interpret:
+        return _fm_vec_pallas(field_embs, interpret)
+    return int_ref.fm_pairwise_vector(field_embs)
 
 
 def fm_pairwise(field_embs, *, interpret: bool = False):
-    return jnp.sum(_fm_vec(field_embs, interpret), axis=-1)
+    return jnp.sum(fm_pairwise_vector(field_embs, interpret=interpret), axis=-1)
 
 
 # -- DLRM dot-interaction ---------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _dot(vectors, self_interaction, interpret):
-    if use_pallas() or interpret:
-        from recsys_tpu.kernels.pallas.interactions_tpu import (
-            dot_interaction_pallas,
-        )
+def _dot_pallas(vectors, self_interaction, interpret):
+    from recsys_tpu.kernels.pallas.interactions_tpu import (
+        dot_interaction_pallas,
+    )
 
-        return dot_interaction_pallas(
-            vectors, self_interaction=self_interaction, interpret=interpret
-        )
-    return int_ref.dot_interaction(vectors, self_interaction=self_interaction)
+    return dot_interaction_pallas(
+        vectors, self_interaction=self_interaction, interpret=interpret
+    )
 
 
 def _dot_fwd(x, self_interaction, interpret):
-    return _dot(x, self_interaction, interpret), x
+    return _dot_pallas(x, self_interaction, interpret), x
 
 
 def _dot_bwd(self_interaction, interpret, x, g):
     b, f, d = x.shape
     rows, cols = jnp.tril_indices(f, k=0 if self_interaction else -1)
-    gram_g = jnp.zeros((b, f, f), g.dtype).at[:, rows, cols].set(g)
+    gram_g = jnp.zeros((b, f, f), g.dtype).at[:, rows, cols].add(g)
     sym = gram_g + jnp.swapaxes(gram_g, 1, 2)  # d<x_i,x_j> hits both slots
     return (jnp.einsum("bfg,bgd->bfd", sym, x),)
 
 
-_dot.defvjp(_dot_fwd, _dot_bwd)
+_dot_pallas.defvjp(_dot_fwd, _dot_bwd)
 
 
 def dot_interaction(vectors, *, self_interaction: bool = False,
                     interpret: bool = False):
-    return _dot(vectors, self_interaction, interpret)
+    if _pallas_interactions() or interpret:
+        return _dot_pallas(vectors, self_interaction, interpret)
+    return int_ref.dot_interaction(vectors, self_interaction=self_interaction)
 
 
 # -- fused masked attention -------------------------------------------------
@@ -103,18 +125,14 @@ def _full_mask(mask, q, k, causal):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _sdpa(q, k, v, mask, causal, interpret):
-    if use_pallas() or interpret:
-        from recsys_tpu.kernels.pallas.attention_tpu import flash_attention
+def _sdpa_pallas(q, k, v, mask, causal, interpret):
+    from recsys_tpu.kernels.pallas.attention_tpu import flash_attention
 
-        return flash_attention(
-            q, k, v, mask, causal=causal, interpret=interpret
-        )
-    return attn_ref.sdpa(q, k, v, _full_mask(mask, q, k, causal))
+    return flash_attention(q, k, v, mask, causal=causal, interpret=interpret)
 
 
 def _sdpa_fwd(q, k, v, mask, causal, interpret):
-    return _sdpa(q, k, v, mask, causal, interpret), (q, k, v, mask)
+    return _sdpa_pallas(q, k, v, mask, causal, interpret), (q, k, v, mask)
 
 
 def _sdpa_bwd(causal, interpret, res, g):
@@ -129,33 +147,31 @@ def _sdpa_bwd(causal, interpret, res, g):
     return dq, dk, dv, None
 
 
-_sdpa.defvjp(_sdpa_fwd, _sdpa_bwd)
+_sdpa_pallas.defvjp(_sdpa_fwd, _sdpa_bwd)
 
 
 def sdpa(q, k, v, mask=None, *, causal: bool = False,
          interpret: bool = False):
     """Fused attention over (B, H, S, D); mask is a (B, Sk) key-padding mask
     (1 = attend) or None."""
-    return _sdpa(q, k, v, mask, causal, interpret)
+    big = q.shape[-2] * k.shape[-2] >= _FLASH_MIN_SCORES
+    if (use_pallas() and big) or interpret:
+        return _sdpa_pallas(q, k, v, mask, causal, interpret)
+    return attn_ref.sdpa(q, k, v, _full_mask(mask, q, k, causal))
 
 
 # -- pooled embedding gather ------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _ssg(table, rows, mask, mode, interpret):
-    # Mosaic's per-row DMA needs the embedding width lane-aligned (128);
-    # narrower tables route to XLA's fused gather+reduce (already good).
-    aligned = table.shape[1] % 128 == 0
-    if (use_pallas() and aligned) or interpret:
-        from recsys_tpu.kernels.pallas.embedding_tpu import pooled_gather_pallas
+def _ssg_pallas(table, rows, mask, mode, interpret):
+    from recsys_tpu.kernels.pallas.embedding_tpu import pooled_gather_pallas
 
-        return pooled_gather_pallas(
-            table, rows, mask, mode=mode, interpret=interpret
-        )
-    return emb_ref.segment_sum_gather(table, rows, mask, mode=mode)
+    return pooled_gather_pallas(
+        table, rows, mask, mode=mode, interpret=interpret
+    )
 
 
 def _ssg_fwd(table, rows, mask, mode, interpret):
-    return _ssg(table, rows, mask, mode, interpret), (
+    return _ssg_pallas(table, rows, mask, mode, interpret), (
         table.shape, rows, mask,
     )
 
@@ -178,12 +194,15 @@ def _ssg_bwd(mode, interpret, res, g):
     return dtable, None, None
 
 
-_ssg.defvjp(_ssg_fwd, _ssg_bwd)
+_ssg_pallas.defvjp(_ssg_fwd, _ssg_bwd)
 
 
 def segment_sum_gather(table, rows, mask, *, mode: str = "mean",
                        interpret: bool = False):
-    return _ssg(table, rows, mask, mode, interpret)
+    aligned = table.shape[1] % 128 == 0
+    if (use_pallas() and aligned) or interpret:
+        return _ssg_pallas(table, rows, mask, mode, interpret)
+    return emb_ref.segment_sum_gather(table, rows, mask, mode=mode)
 
 
 def gather(table, rows):

@@ -161,6 +161,7 @@ class Trainer:
         val_data: dict | None = None,
         validation_split: float = 0.0,
         early_stopping_patience: int | None = None,
+        checkpoint_path: str | None = None,
         verbose: bool = True,
         log_every: int = 0,
     ) -> dict:
@@ -176,6 +177,12 @@ class Trainer:
             self.init(sample)
         if self._train_step is None:
             self._build_steps()
+
+        checkpointer = None
+        if checkpoint_path is not None:
+            from recsys_tpu.train.checkpoint import BestCheckpointer
+
+            checkpointer = BestCheckpointer(checkpoint_path, mode="min")
 
         history = {"loss": [], "val_loss": []}
         best_val, best_params, best_stats, bad_epochs = np.inf, None, None, 0
@@ -210,6 +217,10 @@ class Trainer:
                     )
                 else:
                     bad_epochs += 1
+                if checkpointer is not None:
+                    checkpointer.update(val_loss, self.state)
+            elif checkpointer is not None:
+                checkpointer.update(train_loss, self.state)
             msg += f" ({time.time() - t0:.1f}s)"
             if verbose:
                 print(msg)

@@ -81,3 +81,19 @@ def test_streaming_topk_matches_dense():
     sv, si = topk_scores_streaming(q, items, k=7, tile=32)
     np.testing.assert_allclose(np.asarray(sv), np.asarray(dv), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+
+
+def test_trainer_with_mesh_data_parallel():
+    """Full Trainer loop with the batch sharded over an 8-way data axis."""
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.fm import FM
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=2048, num_dense=3, num_sparse=4,
+                                 vocab_size=20, embed_dim=4, seed=7)
+    mesh = make_mesh(data=8, model=1)
+    tr = Trainer(FM(schema), learning_rate=5e-2, mesh=mesh)
+    hist = tr.fit(data, batch_size=256, epochs=2, verbose=False)
+    assert hist["loss"][-1] < hist["loss"][0]
+    auc = tr.evaluate_auc(data)
+    assert auc > 0.6
