@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-BATCH = 4096
+BATCH = 16384  # saturating batch on v5e (sweep: 4096->394k, 8192->499k, 16384->1.09M, 32768->1.12M ex/s)
 VOCAB = 100_000
 NUM_SPARSE = 26
 NUM_DENSE = 13

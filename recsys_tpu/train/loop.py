@@ -74,7 +74,18 @@ class Trainer:
             training=True,
         )
         params = variables["params"]
-        batch_stats = variables.get("batch_stats", flax.core.freeze({}))
+        # plain dict so the pytree TYPE matches what model.apply(mutable=...)
+        # returns from the train step (flax emits plain dicts)
+        batch_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+        if self.mesh is not None:
+            from recsys_tpu.parallel.sharding_rules import apply_param_shardings
+
+            rep = mesh_lib.replicated(self.mesh)
+            # embedding tables row-shard over the model axis (no-op on a
+            # pure-DP mesh); adam moments inherit the table layout because
+            # tx.init runs on the already-sharded params
+            params = apply_param_shardings(params, self.mesh)
+            batch_stats = jax.device_put(batch_stats, rep)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -82,8 +93,20 @@ class Trainer:
             opt_state=self.tx.init(params),
         )
         if self.mesh is not None:
+            # leaves created outside device_put (step counter, adam count)
+            # still carry single-device placement; replicate them so the
+            # whole state lives on the mesh
+            from jax.sharding import NamedSharding
+
             rep = mesh_lib.replicated(self.mesh)
-            self.state = jax.device_put(self.state, rep)
+
+            def place(x):
+                sh = getattr(x, "sharding", None)
+                if isinstance(sh, NamedSharding) and sh.mesh == self.mesh:
+                    return x
+                return jax.device_put(x, rep)
+
+            self.state = jax.tree_util.tree_map(place, self.state)
         return self.state
 
     # -- compiled steps ---------------------------------------------------
@@ -122,8 +145,20 @@ class Trainer:
             outputs = model.apply(variables, batch, training=False)
             return outputs
 
-        donate = (0,)
-        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        if self.mesh is not None and self.state is not None:
+            # pin the state's layout (sharded tables survive the step);
+            # without this jit's sharding propagation may re-replicate
+            state_sh = jax.tree_util.tree_map(
+                lambda x: x.sharding, self.state
+            )
+            loss_sh = mesh_lib.replicated(self.mesh)
+            self._train_step = jax.jit(
+                train_step,
+                donate_argnums=(0,),
+                out_shardings=(state_sh, loss_sh),
+            )
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
     # -- data plumbing ----------------------------------------------------
