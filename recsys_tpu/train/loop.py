@@ -199,6 +199,7 @@ class Trainer:
         checkpoint_path: str | None = None,
         verbose: bool = True,
         log_every: int = 0,
+        log_jsonl: str | None = None,
     ) -> dict:
         """train_data: dict of aligned numpy arrays incl. the label key(s)."""
         if validation_split > 0.0 and val_data is None:
@@ -256,9 +257,23 @@ class Trainer:
                     checkpointer.update(val_loss, self.state)
             elif checkpointer is not None:
                 checkpointer.update(train_loss, self.state)
-            msg += f" ({time.time() - t0:.1f}s)"
+            epoch_s = time.time() - t0
+            msg += f" ({epoch_s:.1f}s)"
             if verbose:
                 print(msg)
+            if log_jsonl:
+                import json
+
+                rec = {
+                    "epoch": epoch + 1,
+                    "step": int(self.state.step),
+                    "loss": train_loss,
+                    "epoch_seconds": round(epoch_s, 3),
+                }
+                if val_data is not None:
+                    rec["val_loss"] = history["val_loss"][-1]
+                with open(log_jsonl, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
             if (
                 early_stopping_patience is not None
                 and bad_epochs > early_stopping_patience

@@ -155,3 +155,17 @@ def test_ncf_scoring():
                      method=model.score)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(out["pos_logits"]),
                                rtol=1e-5)
+
+
+def test_two_tower_pair_mode_for_softmax_training():
+    rng = np.random.default_rng(6)
+    user, item = _tower_schemas()
+    model = DSSM(user, item, user_units=(16,), item_units=(16,), out_dim=8,
+                 output_mode="pair")
+    batch = _tower_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch, training=False)
+    out = model.apply(variables, batch, training=False)
+    assert set(out) == {"user", "item"}
+    assert out["user"].shape == (B, 8)
+    loss = losses.in_batch_sampled_softmax(out["user"], out["item"])
+    assert np.isfinite(float(loss))
