@@ -326,11 +326,44 @@ class Trainer:
 
     def evaluate_auc(
         self, data: dict, batch_size: int = 4096, label_key: str = "label",
-        from_logits: bool = True,
+        from_logits: bool = True, streaming: bool = False,
     ) -> float:
-        preds = self.predict(data, batch_size)
-        scores = jax.nn.sigmoid(preds) if from_logits else preds
-        return metrics_lib.auc(np.asarray(scores), data[label_key])
+        """Test AUC.  ``streaming=True`` accumulates fixed-size score
+        histograms on device (never gathering per-example scores to the
+        host) — the shard-friendly path; the default gathers predictions
+        (simpler, exact to histogram resolution either way)."""
+        if not streaming:
+            preds = self.predict(data, batch_size)
+            scores = jax.nn.sigmoid(preds) if from_logits else preds
+            return metrics_lib.auc(np.asarray(scores), data[label_key])
+
+        if self._eval_step is None:
+            self._build_steps()
+        num_bins = 8192
+
+        @jax.jit
+        def hist_step(state, batch, valid):
+            feats = {k: v for k, v in batch.items() if k != label_key}
+            out = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                feats,
+                training=False,
+            )
+            scores = jax.nn.sigmoid(out) if from_logits else out
+            return metrics_lib.auc_histogram(
+                scores, batch[label_key], num_bins, weights=valid
+            )
+
+        acc = metrics_lib.AucAccumulator(num_bins)
+        for batch in self._batches(data, batch_size, False, False):
+            valid = jnp.asarray(
+                batch.pop("_valid", np.ones(batch_size, np.float32))
+            )
+            db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
+            pos, neg = hist_step(self.state, db, valid)
+            acc.pos = acc.pos + pos
+            acc.neg = acc.neg + neg
+        return acc.result()
 
 
 def _num_examples(data: dict) -> int:

@@ -107,3 +107,36 @@ def test_amazon_arrays():
     assert abs(train["label"].mean() - 0.5) < 1e-6
     # categories consistent: padded positions have cate 0
     assert np.all((train["hist"] == 0) == (train["hist_cate"] == 0))
+
+
+def test_census_two_task_arrays():
+    from recsys_tpu.data.census import COLUMNS, DENSE_COLS, build_census_arrays
+
+    rng = np.random.default_rng(5)
+    n = 300
+
+    def frame(rows):
+        d = {}
+        for c in COLUMNS:
+            if c in DENSE_COLS:
+                d[c] = rng.integers(0, 90, rows)
+            elif c == "income_50k":
+                d[c] = rng.choice([" - 50000.", " 50000+."], rows)
+            elif c == "marital_stat":
+                d[c] = rng.choice(
+                    [" Never married", " Married-civilian spouse present",
+                     " Divorced"], rows)
+            else:
+                d[c] = rng.choice([f"v{i}" for i in range(5)], rows)
+        return pd.DataFrame(d)
+
+    schema, train, val, test = build_census_arrays(frame(n), frame(100))
+    assert len(train["label_income"]) == n
+    assert len(val["label_income"]) == 50 and len(test["label_income"]) == 50
+    # labels: income parses the '50000+.' marker, marital the 'Never married'
+    assert 0.0 < train["label_income"].mean() < 1.0
+    assert 0.0 < train["label_marital"].mean() < 1.0
+    assert train["dense"].shape[1] == len(DENSE_COLS)
+    assert train["dense"].min() >= 0.0 and train["dense"].max() <= 1.0
+    for j, f in enumerate(schema.sparse):
+        assert train["sparse"][:, j].max() < f.vocab_size

@@ -75,3 +75,35 @@ def test_predict_handles_remainder_batches():
     tr.fit(data, batch_size=256, epochs=1, verbose=False)
     preds = tr.predict(data, batch_size=300)
     assert len(preds) == 1000
+
+
+def test_streaming_auc_matches_gathered():
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.fm import FM
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=3000, num_dense=3, num_sparse=4,
+                                 vocab_size=25, embed_dim=4, seed=11)
+    tr = Trainer(FM(schema), learning_rate=5e-2)
+    tr.fit(data, batch_size=256, epochs=2, verbose=False)
+    a1 = tr.evaluate_auc(data, batch_size=512)
+    a2 = tr.evaluate_auc(data, batch_size=512, streaming=True)
+    assert abs(a1 - a2) < 5e-3
+    assert a2 > 0.6
+
+
+def test_export_round_trip(tmp_path):
+    import numpy as np
+
+    from recsys_tpu.train import export
+
+    embs = np.random.default_rng(0).normal(size=(20, 8)).astype(np.float32)
+    p = str(tmp_path / "items.npz")
+    export.export_item_embeddings(p, embs, item_ids=np.arange(20) + 100,
+                                  metadata={"model": "dssm"})
+    index, ids, meta = export.build_index(p, normalize=True)
+    assert index.ntotal == 20 and meta["model"] == "dssm"
+    assert ids[0] == 100
+    # cosine top-1 of a vector is itself
+    _, I = index.search(embs[:3], 1)
+    np.testing.assert_array_equal(I[:, 0], [0, 1, 2])
