@@ -26,8 +26,8 @@ VOCAB = 100_000
 NUM_SPARSE = 26
 NUM_DENSE = 13
 EMBED_DIM = 16
-WARMUP = 3
-STEPS = 20
+WARMUP = 5
+STEPS = 40  # longer window: tunnel throughput varies run to run
 
 
 def _data(rng):

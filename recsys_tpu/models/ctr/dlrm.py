@@ -28,25 +28,35 @@ class DLRM(nn.Module):
     top_units: Sequence[int] = (256, 128, 64)
     self_interaction: bool = False
     dropout_rate: float = 0.0
+    # bfloat16 runs MLPs + interaction on the MXU's native precision
+    # (params and loss stay float32); None = full float32
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense = batch["sparse"], batch.get("dense")
         d = self.schema.embed_dim
         field_embs = StackedEmbedding(self.schema)(sparse)  # (B, F, D)
+        if self.compute_dtype is not None:
+            field_embs = field_embs.astype(self.compute_dtype)
 
         feats = field_embs
         bottom = None
         if dense is not None and dense.shape[-1] > 0:
-            bottom = MLP(self.bottom_units, out_dim=d)(dense, training=training)
-            feats = jnp.concatenate([bottom[:, None, :], field_embs], axis=1)
+            bottom = MLP(self.bottom_units, out_dim=d,
+                         dtype=self.compute_dtype)(dense, training=training)
+            feats = jnp.concatenate(
+                [bottom[:, None, :].astype(feats.dtype), field_embs], axis=1
+            )
 
         inter = ikernels.dot_interaction(
             feats, self_interaction=self.self_interaction
         )
         top_in = inter if bottom is None else jnp.concatenate(
-            [bottom, inter], axis=-1
+            [bottom.astype(inter.dtype), inter], axis=-1
         )
-        return MLP(
-            self.top_units, out_dim=1, dropout_rate=self.dropout_rate
+        logits = MLP(
+            self.top_units, out_dim=1, dropout_rate=self.dropout_rate,
+            dtype=self.compute_dtype,
         )(top_in, training=training)[..., 0]
+        return logits.astype(jnp.float32)

@@ -75,7 +75,9 @@ class MLP(nn.Module):
     `hidden_units` are the intermediate widths; `out_dim` (if set) appends a
     final linear projection with no activation.  `batch_norm=True` normalises
     the input once before the stack — the reference ctr DNN's behaviour
-    (modules.py:129-131) — rather than per layer.
+    (modules.py:129-131) — rather than per layer.  `dtype` sets the COMPUTE
+    dtype (params stay float32): pass jnp.bfloat16 to run the matmuls on the
+    MXU's native precision.
     """
 
     hidden_units: Sequence[int]
@@ -84,6 +86,7 @@ class MLP(nn.Module):
     dropout_rate: float = 0.0
     batch_norm: bool = False
     use_dice: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, training: bool = False) -> jnp.ndarray:
@@ -91,7 +94,7 @@ class MLP(nn.Module):
             x = nn.BatchNorm(use_running_average=not training)(x)
         act = None if self.use_dice else resolve_activation(self.activation)
         for width in self.hidden_units:
-            x = nn.Dense(width)(x)
+            x = nn.Dense(width, dtype=self.dtype)(x)
             if self.use_dice:
                 x = Dice()(x, training=training)
             else:
@@ -99,5 +102,5 @@ class MLP(nn.Module):
             if self.dropout_rate > 0.0:
                 x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
         if self.out_dim is not None:
-            x = nn.Dense(self.out_dim)(x)
+            x = nn.Dense(self.out_dim, dtype=self.dtype)(x)
         return x

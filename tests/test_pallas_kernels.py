@@ -114,3 +114,38 @@ def test_segment_sum_gather_forward_and_grad(rng, mode):
         jax.grad(loss_kernel)(table), jax.grad(loss_ref)(table),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_fused_topk_matches_dense(rng):
+    from recsys_tpu.kernels.pallas.topk_tpu import topk_scores_pallas
+    from recsys_tpu.train.retrieval import topk_scores
+
+    q = jnp.asarray(rng.normal(size=(24, 8)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(130, 8)), jnp.float32)
+    pv, pi = topk_scores_pallas(q, items, k=7, blk_q=8, tile_n=32,
+                                interpret=True)
+    dv, di = topk_scores(q, items, k=7)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(dv), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(di))
+
+
+def test_dlrm_bf16_compute_close_to_f32(rng):
+    import jax
+
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+
+    schema, data = synthetic_ctr(num_examples=16, num_dense=4, num_sparse=5,
+                                 vocab_size=11, embed_dim=8)
+    batch = {"dense": jnp.asarray(data["dense"]),
+             "sparse": jnp.asarray(data["sparse"])}
+    m32 = DLRM(schema, bottom_units=(16,), top_units=(16, 8))
+    m16 = DLRM(schema, bottom_units=(16,), top_units=(16, 8),
+               compute_dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(0), batch, training=False)
+    o32 = m32.apply(v, batch, training=False)
+    o16 = m16.apply(v, batch, training=False)  # same params, bf16 compute
+    assert o16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(o32), np.asarray(o16),
+                               rtol=0.1, atol=0.1)
