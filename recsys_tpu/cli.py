@@ -272,18 +272,18 @@ def run_ncf(args):
     def loss_fn(out, batch):
         return losses.pairwise_bce(out["pos_logits"], out["neg_logits"])
 
+    def eval_fn(trainer):
+        # the reference's every-2-epoch ranked eval (ncf/train.py:64-80)
+        out = trainer.predict(test)
+        hr, ndcg = hit_rate_ndcg_at_k(
+            jax.numpy.asarray(out["pos_logits"]),
+            jax.numpy.asarray(out["neg_logits"]), k=10,
+        )
+        return {"HR@10": float(hr), "NDCG@10": float(ndcg)}
+
     tr = Trainer(model, loss_fn=loss_fn, learning_rate=args.lr)
-    for epoch in range(args.epochs):
-        tr.fit(train, batch_size=args.batch_size or 128, epochs=1,
-               verbose=False)
-        if (epoch + 1) % 2 == 0 or epoch == args.epochs - 1:
-            out = tr.predict(test)
-            hr, ndcg = hit_rate_ndcg_at_k(
-                jax.numpy.asarray(out["pos_logits"]),
-                jax.numpy.asarray(out["neg_logits"]), k=10,
-            )
-            print(f"epoch {epoch + 1}: HR@10={float(hr):.4f} "
-                  f"NDCG@10={float(ndcg):.4f}")
+    tr.fit(train, batch_size=args.batch_size or 128, epochs=args.epochs,
+           eval_fn=eval_fn, eval_every=2)
 
 
 def run_sasrec(args):

@@ -200,6 +200,8 @@ class Trainer:
         verbose: bool = True,
         log_every: int = 0,
         log_jsonl: str | None = None,
+        eval_fn: Callable | None = None,
+        eval_every: int = 1,
     ) -> dict:
         """train_data: dict of aligned numpy arrays incl. the label key(s)."""
         if validation_split > 0.0 and val_data is None:
@@ -257,6 +259,14 @@ class Trainer:
                     checkpointer.update(val_loss, self.state)
             elif checkpointer is not None:
                 checkpointer.update(train_loss, self.state)
+            # in-training eval hook (e.g. every-2-epoch HR@K/recall@K like
+            # the reference NCF loop, /root/reference/src/match/ncf/
+            # train.py:64-80) — receives this trainer, returns a metric dict
+            if eval_fn is not None and (epoch + 1) % eval_every == 0:
+                extra = eval_fn(self)
+                for k, v in extra.items():
+                    history.setdefault(k, []).append(v)
+                    msg += f" {k}={v:.4f}"
             epoch_s = time.time() - t0
             msg += f" ({epoch_s:.1f}s)"
             if verbose:
