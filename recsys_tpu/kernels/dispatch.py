@@ -132,18 +132,23 @@ def _sdpa_pallas(q, k, v, mask, causal, interpret):
 
 
 def _sdpa_fwd(q, k, v, mask, causal, interpret):
-    return _sdpa_pallas(q, k, v, mask, causal, interpret), (q, k, v, mask)
+    from recsys_tpu.kernels.pallas.attention_tpu import flash_attention_fwd
+
+    out, lse = flash_attention_fwd(
+        q, k, v, mask, causal=causal, interpret=interpret
+    )
+    return out, (q, k, v, mask, out, lse)
 
 
 def _sdpa_bwd(causal, interpret, res, g):
-    # exact recompute backward in jnp (O(S^2) memory only during backward)
-    q, k, v, mask = res
+    # flash backward kernels: blockwise recompute from the saved logsumexp,
+    # O(S) memory end to end
+    from recsys_tpu.kernels.pallas.attention_tpu import flash_attention_bwd
 
-    def ref(q, k, v):
-        return attn_ref.sdpa(q, k, v, _full_mask(mask, q, k, causal))
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g.astype(q.dtype))
+    q, k, v, mask, out, lse = res
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, mask, out, lse, g, causal=causal, interpret=interpret
+    )
     return dq, dk, dv, None
 
 

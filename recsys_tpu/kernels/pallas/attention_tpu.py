@@ -25,7 +25,7 @@ NEG_INF = -1e9
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref,
+    q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
     *, scale: float, causal: bool, blk_q: int, blk_k: int, sk: int,
 ):
     kb = pl.program_id(2)
@@ -102,6 +102,10 @@ def _flash_kernel(
         # fully-masked rows have l == 0; emit 0 (matches masked-out queries)
         l = l_ref[:]
         out_ref[0] = jnp.where(l > 0, acc_ref[:] / jnp.maximum(l, 1e-30), 0.0)
+        # per-row logsumexp residual for the backward kernels
+        lse_ref[0] = jnp.where(
+            l > 0, m_ref[:] + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF
+        )
 
 
 @functools.partial(
@@ -120,12 +124,16 @@ def flash_attention(
 ) -> jnp.ndarray:
     """q (B, H, Sq, D), k/v (B, H, Sk, D), mask (B, Sk) key-padding
     (1 = attend).  Returns (B, H, Sq, D) in q's dtype."""
+    out, _ = flash_attention_fwd(
+        q, k, v, mask, causal=causal, blk_q=blk_q, blk_k=blk_k,
+        interpret=interpret,
+    )
+    return out
+
+
+def _prep(q, k, v, mask, blk_q, blk_k):
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    scale = 1.0 / (d ** 0.5)
-
-    blk_q = min(blk_q, sq)
-    blk_k = min(blk_k, sk)
     bh = b * h
     qr = q.reshape(bh, sq, d)
     kr = k.reshape(bh, sk, d)
@@ -133,37 +141,56 @@ def flash_attention(
     if mask is None:
         mask = jnp.ones((b, sk), jnp.int32)
     maskr = jnp.repeat(mask.astype(jnp.int32), h, axis=0)  # (bh, Sk)
+    return qr, kr, vr, maskr, bh, sq, sk, d, min(blk_q, sq), min(blk_k, sk)
 
+
+def _params(interpret, semantics):
+    return None if interpret else pltpu.CompilerParams(
+        dimension_semantics=semantics
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret")
+)
+def flash_attention_fwd(
+    q, k, v, mask=None, *, causal=False, blk_q=128, blk_k=128,
+    interpret=False,
+):
+    """Forward pass returning (out, lse) — lse (B, H, Sq) feeds the
+    backward kernels."""
+    b, h = q.shape[:2]
+    qr, kr, vr, maskr, bh, sq, sk, d, blk_q, blk_k = _prep(
+        q, k, v, mask, blk_q, blk_k
+    )
+    scale = 1.0 / (d ** 0.5)
     grid = (bh, pl.cdiv(sq, blk_q), pl.cdiv(sk, blk_k))
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, causal=causal,
             blk_q=blk_q, blk_k=blk_k, sk=sk,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, blk_q, d), lambda g, i, j: (g, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, blk_k, d), lambda g, i, j: (g, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, blk_k, d), lambda g, i, j: (g, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (bh, blk_k), lambda g, i, j: (0, j),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, blk_q, d), lambda g, i, j: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda g, i, j: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda g, i, j: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, blk_k), lambda g, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, blk_q, d), lambda g, i, j: (g, i, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec((1, blk_q, d), lambda g, i, j: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, 1), lambda g, i, j: (g, i, 0),
+                         memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((blk_q, d), jnp.float32),
             pltpu.VMEM((blk_q, 1), jnp.float32),
@@ -172,9 +199,237 @@ def flash_attention(
         # batch*heads and q blocks are independent (megacore-parallel);
         # the kv sweep is the online-softmax reduction.  (interpret mode
         # rejects compiler params, so only set them for real lowering.)
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        compiler_params=_params(interpret,
+                                ("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qr, kr, vr, maskr)
-    return out.reshape(b, h, sq, d).astype(q.dtype)
+    return (
+        out.reshape(b, h, sq, d).astype(q.dtype),
+        lse.reshape(b, h, sq),
+    )
+
+
+def _recompute_p(q, k, mask_row, lse, scale, causal, qb, kb,
+                 blk_q, blk_k, sk):
+    """Shared backward helper: softmax probabilities for one (q, k) block."""
+    k_ids_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (blk_k, 1), 0)[:, 0] + kb * blk_k
+    )
+    k_valid = k_ids_row < sk
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (blk_q, blk_k)
+    kmask = (mask_row > 0) & k_valid
+    s = jnp.where(kmask[None, :].reshape(1, -1), s, NEG_INF)
+    if causal:
+        q_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
+            + qb * blk_q
+        )
+        k_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
+            + kb * blk_k
+        )
+        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+    # p = exp(s - lse); fully-masked rows have lse = NEG_INF -> p = 0
+    p = jnp.where(
+        (s > NEG_INF / 2) & (lse > NEG_INF / 2), jnp.exp(s - lse), 0.0
+    )
+    return p, k_valid
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref, delta_ref, dq_ref,
+    dq_acc, *, scale, causal, blk_q, blk_k, sk,
+):
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+    qb = pl.program_id(1)
+    g = pl.program_id(0)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    if causal:
+        needed = kb * blk_k <= qb * blk_q + (blk_q - 1)
+    else:
+        needed = kb >= 0
+
+    @pl.when(needed)
+    def _body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]  # (blk_q, 1)
+        delta = delta_ref[0]  # (blk_q, 1)
+        row = mask_ref[pl.ds(g, 1), :][0]
+        p, _ = _recompute_p(q, k, row, lse, scale, causal, qb, kb,
+                            blk_q, blk_k, sk)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_q, blk_k)
+        ds = p * (dp - delta)
+        dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(kb == nk - 1)
+    def _emit():
+        dq_ref[0] = dq_acc[:]
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref, delta_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale, causal, blk_q, blk_k, sk,
+):
+    qb = pl.program_id(2)  # q innermost here
+    nq = pl.num_programs(2)
+    kb = pl.program_id(1)
+    g = pl.program_id(0)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    if causal:
+        needed = kb * blk_k <= qb * blk_q + (blk_q - 1)
+    else:
+        needed = qb >= 0
+
+    @pl.when(needed)
+    def _body():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+        row = mask_ref[pl.ds(g, 1), :][0]
+        p, _ = _recompute_p(q, k, row, lse, scale, causal, qb, kb,
+                            blk_q, blk_k, sk)
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_k, D)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)  # (blk_q, blk_k)
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(qb == nq - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[:]
+        dv_ref[0] = dv_acc[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret")
+)
+def flash_attention_bwd(
+    q, k, v, mask, out, lse, do, *, causal=False, blk_q=128, blk_k=128,
+    interpret=False,
+):
+    """Backward pass: returns (dq, dk, dv) given forward residuals."""
+    b, h = q.shape[:2]
+    qr, kr, vr, maskr, bh, sq, sk, d, blk_q, blk_k = _prep(
+        q, k, v, mask, blk_q, blk_k
+    )
+    scale = 1.0 / (d ** 0.5)
+    dor = do.reshape(bh, sq, d).astype(jnp.float32)
+    outr = out.reshape(bh, sq, d).astype(jnp.float32)
+    lser = lse.reshape(bh, sq, 1)
+    delta = jnp.sum(dor * outr, axis=-1, keepdims=True)  # (bh, sq, 1)
+
+    common_in = [
+        pl.BlockSpec((1, blk_q, d), lambda g, i, j: (g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda g, i, j: (g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda g, i, j: (g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bh, blk_k), lambda g, i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_q, 1), lambda g, i, j: (g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_q, d), lambda g, i, j: (g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_q, 1), lambda g, i, j: (g, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, causal=causal,
+            blk_q=blk_q, blk_k=blk_k, sk=sk,
+        ),
+        grid=(bh, pl.cdiv(sq, blk_q), pl.cdiv(sk, blk_k)),
+        in_specs=common_in,
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda g, i, j: (g, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
+        compiler_params=_params(interpret,
+                                ("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qr, kr, vr, maskr, lser, dor, delta)
+
+    # dk/dv sweep: k blocks outer, q blocks inner (the reduction)
+    dkv_in = [
+        pl.BlockSpec((1, blk_q, d), lambda g, j, i: (g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda g, j, i: (g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda g, j, i: (g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bh, blk_k), lambda g, j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_q, 1), lambda g, j, i: (g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_q, d), lambda g, j, i: (g, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_q, 1), lambda g, j, i: (g, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, causal=causal,
+            blk_q=blk_q, blk_k=blk_k, sk=sk,
+        ),
+        grid=(bh, pl.cdiv(sk, blk_k), pl.cdiv(sq, blk_q)),
+        in_specs=dkv_in,
+        out_specs=(
+            pl.BlockSpec((1, blk_k, d), lambda g, j, i: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda g, j, i: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((blk_k, d), jnp.float32),
+            pltpu.VMEM((blk_k, d), jnp.float32),
+        ],
+        compiler_params=_params(interpret,
+                                ("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qr, kr, vr, maskr, lser, dor, delta)
+
+    shape = (b, h, sq, d)
+    kshape = (b, h, sk, d)
+    return (
+        dq.reshape(shape).astype(q.dtype),
+        dk.reshape(kshape).astype(k.dtype),
+        dv.reshape(kshape).astype(v.dtype),
+    )

@@ -32,6 +32,9 @@ class SASRec(nn.Module):
     max_len: int = 50
     dropout_rate: float = 0.2
     pad_id: int = 0
+    # the published SASRec is unidirectional; the reference omitted the
+    # causal mask along with positional embeddings (model.py:74)
+    causal: bool = True
 
     def setup(self):
         self.item_table = self.param(
@@ -45,6 +48,7 @@ class SASRec(nn.Module):
                 num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim,
                 dropout_rate=self.dropout_rate,
+                causal=self.causal,
             )
             for _ in range(self.num_blocks)
         ]

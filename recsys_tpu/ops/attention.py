@@ -39,6 +39,7 @@ class MultiHeadAttention(nn.Module):
     model_dim: int | None = None  # default: input dim
     use_residual: bool = True
     out_proj: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(
@@ -57,7 +58,7 @@ class MultiHeadAttention(nn.Module):
         qh, kh, vh = (split_heads(t, self.num_heads) for t in (q, k, v))
         # mask contract: (B, S_k) key-padding mask (1 = attend) or None;
         # the dispatch layer routes to the fused Pallas kernel on TPU
-        out = merge_heads(dkernels.sdpa(qh, kh, vh, mask))
+        out = merge_heads(dkernels.sdpa(qh, kh, vh, mask, causal=self.causal))
         if self.out_proj:
             out = nn.Dense(dim, name="wo")(out)
         if self.use_residual:
@@ -130,6 +131,7 @@ class TransformerBlock(nn.Module):
     num_heads: int = 1
     ffn_dim: int | None = None
     dropout_rate: float = 0.2
+    causal: bool = False
 
     @nn.compact
     def __call__(
@@ -140,7 +142,7 @@ class TransformerBlock(nn.Module):
         training: bool = False,
     ) -> jnp.ndarray:
         attn = MultiHeadAttention(
-            num_heads=self.num_heads, use_residual=False
+            num_heads=self.num_heads, use_residual=False, causal=self.causal
         )(x, x, x, mask)
         attn = nn.Dropout(self.dropout_rate, deterministic=not training)(attn)
         x = nn.LayerNorm()(x + attn)

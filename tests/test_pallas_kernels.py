@@ -149,3 +149,29 @@ def test_dlrm_bf16_compute_close_to_f32(rng):
     assert o16.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(o32), np.asarray(o16),
                                rtol=0.1, atol=0.1)
+
+
+def test_sdpa_causal_backward(rng):
+    B, H, S, D = 2, 2, 48, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+               for _ in range(3))
+    # keep key 0 visible: with causal masking a fully-masked query row is
+    # degenerate (the jnp reference softmaxes uniformly over -inf logits
+    # while flash emits zeros — both arbitrary, gradients differ)
+    mask = jnp.asarray(rng.random((B, S)) > 0.2).at[:, 0].set(True)
+    cm = mask[:, None, None, :] & (
+        jnp.arange(S)[:, None] >= jnp.arange(S)[None, :]
+    )
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(
+            dispatch.sdpa(q, k, v, mask, causal=True, interpret=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attn_ref.sdpa(q, k, v, cm) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
