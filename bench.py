@@ -149,8 +149,82 @@ def bench_naive(rng):
     return _time_steps(step, state, batch)
 
 
-def main():
+def bench_sasrec(rng, *, maxlen=256, batch=512, steps=20):
+    """SASRec train throughput at long history (flash-attention regime).
+
+    vs_baseline compares the framework's fused attention path against the
+    same model routed through the materialised-softmax XLA reference
+    (RECSYS_TPU_FORCE_PALLAS=0) — the reference implementation's compute
+    pattern (/root/reference/src/match/layers/modules.py:76-96).
+    """
+    import os
+
+    from recsys_tpu.models.match.sasrec import SASRec
+    from recsys_tpu.train.losses import pairwise_bce
+
+    num_items = 50_000
+    hist = jnp.asarray(
+        rng.integers(1, num_items, (batch, maxlen), dtype=np.int64).astype(np.int32)
+    )
+    pos = jnp.asarray(rng.integers(1, num_items, batch, dtype=np.int64).astype(np.int32))
+    neg = jnp.asarray(rng.integers(1, num_items, (batch, 1), dtype=np.int64).astype(np.int32))
+    b = {"hist": hist, "pos": pos, "neg": neg}
+
+    def run(force_jnp: bool):
+        if force_jnp:
+            os.environ["RECSYS_TPU_FORCE_PALLAS"] = "0"
+        else:
+            os.environ.pop("RECSYS_TPU_FORCE_PALLAS", None)
+        model = SASRec(num_items=num_items, embed_dim=64, num_blocks=2,
+                       num_heads=2, max_len=maxlen, dropout_rate=0.0)
+        params = model.init(jax.random.PRNGKey(0), b, training=False)["params"]
+        tx = optax.adam(1e-3)
+        state = (params, tx.init(params))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            p, o = state
+
+            def loss_fn(p):
+                out = model.apply({"params": p}, batch, training=False)
+                return pairwise_bce(out["pos_logits"], out["neg_logits"])
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            upd, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, upd), o), loss
+
+        for _ in range(3):
+            state_, loss = step(state, b)
+            state = state_
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = step(state, b)
+        float(loss)
+        return batch * steps / (time.perf_counter() - t0)
+
+    fused = run(False)
+    ref_style = run(True)
+    os.environ.pop("RECSYS_TPU_FORCE_PALLAS", None)
+    return fused, ref_style
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=["dlrm", "sasrec"], default="dlrm")
+    args = p.parse_args(argv)
     rng = np.random.default_rng(0)
+    if args.model == "sasrec":
+        fused, ref_style = bench_sasrec(rng)
+        print(json.dumps({
+            "metric": "sasrec_maxlen256_train_examples_per_s",
+            "value": round(fused, 1),
+            "unit": "examples/s/chip",
+            "vs_baseline": round(fused / ref_style, 3),
+        }))
+        return
     fw = bench_framework(rng)
     naive = bench_naive(rng)
     print(

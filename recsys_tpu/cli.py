@@ -298,20 +298,23 @@ def run_sasrec(args):
     from recsys_tpu.train.loop import Trainer
     from recsys_tpu.train.metrics import hit_rate_ndcg_at_k
 
+    all_pos = not args.sasrec_prefix  # all-position scheme by default
     if args.ratings:
-        from recsys_tpu.data.movielens import create_sasrec_dataset
+        import pandas as pd
 
-        ni, train, val, test = create_sasrec_dataset(args.ratings,
-                                                     maxlen=args.maxlen)
-    else:
-        ni, train, val, test = build_sasrec_dataset(
-            synthetic_ratings(num_users=300, num_items=150),
-            maxlen=args.maxlen,
+        ratings = pd.read_csv(args.ratings).rename(
+            columns={"userId": "user_id", "movieId": "item_id"}
         )
+    else:
+        ratings = synthetic_ratings(num_users=300, num_items=150)
+    ni, train, val, test = build_sasrec_dataset(
+        ratings, maxlen=args.maxlen, all_positions=all_pos
+    )
     model = SASRec(num_items=ni, embed_dim=64, max_len=args.maxlen)
 
     def loss_fn(out, batch):
-        return losses.pairwise_bce(out["pos_logits"], out["neg_logits"])
+        return losses.pairwise_bce(out["pos_logits"], out["neg_logits"],
+                                   mask=out.get("mask"))
 
     tr = Trainer(model, loss_fn=loss_fn, learning_rate=args.lr)
     tr.fit(train, batch_size=args.batch_size or 128, epochs=args.epochs,
@@ -410,6 +413,8 @@ def main(argv=None):
     p.add_argument("--sample-num", type=int, default=0)
     p.add_argument("--retrieval-loss", choices=["softmax", "bce"],
                    default="softmax")
+    p.add_argument("--sasrec-prefix", action="store_true",
+                   help="exploded-prefix training instead of all-position")
     args = p.parse_args(argv)
     if args.task in ("youtube", "mind"):
         args.model = "mind" if args.task == "mind" else "youtube"

@@ -124,12 +124,16 @@ def build_sasrec_dataset(
     test_neg_num: int = 20,
     min_item_count: int = 5,
     seed: int = 2020,
+    all_positions: bool = False,
 ):
     """Returns (num_items, train_dict, val_dict, test_dict).
 
-    Item ids are remapped to 1..N (0 = pad).  Train samples are every
-    prefix of the user's sequence up to position -2; validation targets the
-    second-to-last item, test the last — the leave-last-2 protocol.
+    Item ids are remapped to 1..N (0 = pad).  Two training layouts:
+    exploded prefixes (default; pos/neg per example) or, with
+    ``all_positions``, the published per-user scheme where train rows are
+    whole sequences with per-position targets/negatives (pos/neg (B, L)).
+    Validation targets the second-to-last item, test the last — the
+    leave-last-2 protocol either way.
     """
     rng = np.random.default_rng(seed)
     counts = ratings["item_id"].value_counts()
@@ -163,11 +167,28 @@ def build_sasrec_dataset(
         if len(seq) < 3:
             continue
         exclude = set(seq)
-        # training prefixes: predict seq[t] from seq[:t], t in [1, len-2)
-        for t in range(1, len(seq) - 2):
-            train_h.append(pad(seq[:t]))
-            train_p.append(seq[t])
-            train_n.append(sample_neg(exclude, 1))
+        if all_positions:
+            # published SASRec scheme: ONE row per user; position t of the
+            # front-padded input predicts target[t] (the next item), one
+            # sampled negative per position (pad positions -> 0)
+            train_seq = seq[:-2]
+            if len(train_seq) >= 2:
+                inp = pad(train_seq[:-1])
+                tgt = pad(train_seq[1:])
+                negs = np.where(
+                    tgt > 0,
+                    np.asarray(sample_neg(exclude, maxlen), np.int32),
+                    0,
+                )
+                train_h.append(inp)
+                train_p.append(tgt)
+                train_n.append(negs)
+        else:
+            # exploded prefixes: predict seq[t] from seq[:t]
+            for t in range(1, len(seq) - 2):
+                train_h.append(pad(seq[:t]))
+                train_p.append(seq[t])
+                train_n.append(sample_neg(exclude, 1))
         val_h.append(pad(seq[:-2]))
         val_p.append(seq[-2])
         val_n.append(sample_neg(exclude, test_neg_num))

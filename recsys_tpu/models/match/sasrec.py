@@ -71,7 +71,37 @@ class SASRec(nn.Module):
     def all_item_embeddings(self) -> jnp.ndarray:
         return self.item_table
 
+    def encode_all(self, hist: jnp.ndarray, *, training: bool = False):
+        """(B, L) -> all encoder states (B, L, D) (causal)."""
+        mask = hist != self.pad_id
+        x = ekernels.gather(self.item_table, hist.astype(jnp.int32))
+        x = x * jnp.sqrt(jnp.asarray(self.embed_dim, x.dtype))
+        x = self.pos_emb(x)
+        x = x * mask[..., None].astype(x.dtype)
+        for block in self.blocks:
+            x = block(x, mask, training=training)
+            x = x * mask[..., None].astype(x.dtype)
+        return x
+
     def __call__(self, batch: dict, *, training: bool = False) -> dict:
+        """Two training schemes, selected by the shape of ``pos``:
+
+        * pos (B,): last-position prediction over an exploded-prefix
+          dataset (one example per prefix) — neg (B, N).
+        * pos (B, L): the published all-position scheme — every non-pad
+          position t predicts pos[t] (the next item) with neg[t] as its
+          sampled negative; requires ``causal=True``.  Returns an extra
+          'mask' (B, L) for the loss.
+        """
+        if batch["pos"].ndim == 2:
+            states = self.encode_all(batch["hist"], training=training)
+            pos = self.item_embed(batch["pos"])  # (B, L, D)
+            neg = self.item_embed(batch["neg"])  # (B, L, D)
+            return {
+                "pos_logits": jnp.sum(states * pos, axis=-1),
+                "neg_logits": jnp.sum(states * neg, axis=-1)[..., None],
+                "mask": batch["pos"] != self.pad_id,
+            }
         user = self.encode(batch["hist"], training=training)  # (B, D)
         pos = self.item_embed(batch["pos"])  # (B, D)
         neg = self.item_embed(batch["neg"])  # (B, N, D)

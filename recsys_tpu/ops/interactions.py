@@ -6,7 +6,6 @@ their params (flax.linen), jit/pjit-safe, static shapes only.
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ for the ID exchange (SURVEY.md §7.3 "duplicate-ID dedup before all-to-all").
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

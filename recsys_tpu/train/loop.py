@@ -210,6 +210,14 @@ class Trainer:
             val_data = jax.tree_util.tree_map(lambda a: a[cut:], train_data)
             train_data = jax.tree_util.tree_map(lambda a: a[:cut], train_data)
 
+        n_train = _num_examples(train_data)
+        if n_train == 0:
+            raise ValueError("empty training dataset")
+        if batch_size > n_train:
+            # a batch larger than the dataset would drop EVERY example
+            # under drop_remainder; train on one full-dataset batch instead
+            batch_size = n_train
+
         if self.state is None:
             sample = next(self._batches(train_data, batch_size, False, True))
             self.init(sample)

@@ -140,3 +140,21 @@ def test_census_two_task_arrays():
     assert train["dense"].min() >= 0.0 and train["dense"].max() <= 1.0
     for j, f in enumerate(schema.sparse):
         assert train["sparse"][:, j].max() < f.vocab_size
+
+
+def test_sasrec_all_positions_layout():
+    ratings = synthetic_ratings(num_users=30, num_items=25, seed=4)
+    ni, train, val, test = build_sasrec_dataset(
+        ratings, maxlen=8, test_neg_num=5, min_item_count=2,
+        all_positions=True,
+    )
+    B, L = train["hist"].shape
+    assert train["pos"].shape == (B, L) and train["neg"].shape == (B, L)
+    # target alignment: pos[t] is the item AFTER hist[t] in the sequence
+    for b in range(min(B, 10)):
+        h, p = train["hist"][b], train["pos"][b]
+        nz = np.flatnonzero(h)
+        for t in nz[:-1]:
+            assert p[t] == h[t + 1]
+    # negatives nonzero exactly where targets are
+    assert np.all((train["neg"] > 0) == (train["pos"] > 0))
