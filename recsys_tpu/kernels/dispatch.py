@@ -38,7 +38,12 @@ def _opt_in(name: str, default: str = "0") -> bool:
     return os.environ.get(name, default) not in ("0", "false", "")
 
 
-_FLASH_MIN_SCORES = 256 * 256
+# Flash switches in where the materialised (Sq, Sk) score matrix becomes a
+# memory problem.  Measured full-training ratios vs XLA's fused softmax on
+# this v5e (fwd+bwd, B*H=8, D=64): S=256 0.55x, S=512 0.66x, S=1024 0.71x —
+# XLA wins on speed while everything fits, so the kernel is the
+# long-context enabler, not a short-sequence speedup.
+_FLASH_MIN_SCORES = 2048 * 2048
 
 
 def _pallas_interactions() -> bool:
