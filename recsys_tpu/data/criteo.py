@@ -27,17 +27,74 @@ def create_criteo_dataset(
     read_part: bool = False,
     sample_num: int = 100_000,
     seed: int = 2020,
+    use_native: bool = False,
+    hash_buckets: int = 1 << 20,
 ):
     """CSV -> (schema, train_dict, test_dict).
 
     Accepts the kaggle-style ``criteo_sampled_data.csv`` the reference uses
-    (header: label, I1..I13, C1..C26).
+    (header: label, I1..I13, C1..C26).  ``use_native`` routes through the
+    C++ parser (~800k rows/s) with FEATURE HASHING into ``hash_buckets``
+    per field instead of the exact label-encode pass — the
+    production-scale path for full-size criteo files.
     """
+    if use_native:
+        from recsys_tpu.data import native
+
+        if native.available():
+            # detect format: kaggle-style sample = comma + header line;
+            # full-size criteo train.txt = tab-separated, headerless
+            with open(path, "rb") as f:
+                first = f.readline().decode(errors="replace")
+            sep = "\t" if "\t" in first else ","
+            skip_header = first.lower().lstrip().startswith("label")
+            labels, dense, sparse = native.parse_criteo(
+                path, sep=sep,
+                max_rows=sample_num if read_part else 1 << 40,
+                cat_buckets=hash_buckets, skip_header=skip_header,
+            )
+            if len(labels) == 0:
+                raise ValueError(
+                    f"native parser found no valid rows in {path} "
+                    f"(sep={sep!r}, skip_header={skip_header}); expected "
+                    "label + 13 dense + 26 categorical fields per line"
+                )
+            dense = _minmax(dense)
+            schema = FeatureSchema(
+                dense=[DenseFeature(c) for c in DENSE_COLS],
+                sparse=[SparseFeature(c, hash_buckets, embed_dim)
+                        for c in SPARSE_COLS],
+            )
+            return (schema,) + _split(dense, sparse, labels, test_size, seed)
+        # no C++ toolchain: fall through to the pandas path
+        import warnings
+
+        warnings.warn("native library unavailable; using the pandas loader")
+
     if read_part:
         df = pd.read_csv(path, nrows=sample_num)
     else:
         df = pd.read_csv(path)
     return build_criteo_arrays(df, embed_dim, test_size, seed)
+
+
+def _minmax(dense: np.ndarray) -> np.ndarray:
+    """Per-column min-max scaling (the reference's intended semantics)."""
+    mn, mx = dense.min(axis=0), dense.max(axis=0)
+    return (dense - mn) / np.where(mx > mn, mx - mn, 1.0)
+
+
+def _split(dense, sparse, label, test_size: float, seed: int):
+    """Shuffled train/test split into the standard CTR batch layout."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(label))
+    cut = int(len(label) * (1.0 - test_size))
+
+    def take(sel):
+        return {"dense": dense[sel], "sparse": sparse[sel],
+                "label": label[sel]}
+
+    return take(idx[:cut]), take(idx[cut:])
 
 
 def build_criteo_arrays(
@@ -54,12 +111,7 @@ def build_criteo_arrays(
         sparse[:, j] = codes.astype(np.int32)
         vocab_sizes.append(len(uniques))
 
-    dense = df[DENSE_COLS].to_numpy(np.float32)
-    # Per-column min-max (the reference's intended MinMaxScaler semantics).
-    mn, mx = dense.min(axis=0), dense.max(axis=0)
-    span = np.where(mx > mn, mx - mn, 1.0)
-    dense = (dense - mn) / span
-
+    dense = _minmax(df[DENSE_COLS].to_numpy(np.float32))
     label = df["label"].to_numpy(np.float32)
 
     schema = FeatureSchema(
@@ -69,17 +121,4 @@ def build_criteo_arrays(
             for c, v in zip(SPARSE_COLS, vocab_sizes)
         ],
     )
-
-    rng = np.random.default_rng(seed)
-    idx = rng.permutation(len(df))
-    cut = int(len(df) * (1.0 - test_size))
-    tr, te = idx[:cut], idx[cut:]
-
-    def take(sel):
-        return {
-            "dense": dense[sel],
-            "sparse": sparse[sel],
-            "label": label[sel],
-        }
-
-    return schema, take(tr), take(te)
+    return (schema,) + _split(dense, sparse, label, test_size, seed)

@@ -55,3 +55,36 @@ def test_parse_criteo_native():
     assert sparse.min() >= 0 and sparse.max() < (1 << 12)
     # identical tokens hash identically across columns
     assert len(np.unique(sparse)) < 60 * 26
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_native_criteo_tsv_headerless_autodetect():
+    """Full-size criteo format: tab-separated, no header."""
+    from recsys_tpu.data.criteo import create_criteo_dataset
+
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(200):
+        dense = [str(int(rng.integers(0, 50))) for _ in range(13)]
+        cats = [f"{int(rng.integers(0, 99)):08x}" for _ in range(26)]
+        rows.append("\t".join([str(int(rng.integers(0, 2)))] + dense + cats))
+    path = os.path.join(tempfile.mkdtemp(), "train.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    schema, train, test = create_criteo_dataset(
+        path, use_native=True, hash_buckets=1 << 10, embed_dim=4
+    )
+    assert len(train["label"]) + len(test["label"]) == 200
+    assert train["sparse"].max() < (1 << 10)
+    assert 0.0 <= train["dense"].min() and train["dense"].max() <= 1.0
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_native_criteo_rejects_garbage_file():
+    from recsys_tpu.data.criteo import create_criteo_dataset
+
+    path = os.path.join(tempfile.mkdtemp(), "bad.csv")
+    with open(path, "w") as f:
+        f.write("label,stuff\n1,2\n")
+    with pytest.raises(ValueError, match="no valid rows"):
+        create_criteo_dataset(path, use_native=True)
