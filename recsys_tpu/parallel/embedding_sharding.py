@@ -25,6 +25,7 @@ from __future__ import annotations
 
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -104,6 +105,117 @@ def sharded_gather_dedup(
         local_fn,
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return fn(table, rows.astype(jnp.int32))
+
+
+def sharded_gather_a2a(
+    table: jnp.ndarray,
+    rows: jnp.ndarray,
+    mesh: Mesh,
+    capacity_factor: float = 2.0,
+) -> jnp.ndarray:
+    """Row-sharded lookup via explicit all-to-all ID exchange.
+
+    The production pattern for large tables (SURVEY.md §2.5 north star):
+    each data shard buckets its IDs by owner model-shard, exchanges the
+    buckets with ``all_to_all`` (payload: IDs), owners gather their rows
+    locally, and a second ``all_to_all`` returns the vectors.  Per-shard
+    communication is O(N/S ids + N*D/S floats) instead of the psum
+    engine's O(N*D) full-output reduction — the win grows with the model
+    axis.
+
+    Static shapes via a capacity factor: each owner bucket holds
+    ``C = ceil(N / S * capacity_factor)`` slots; IDs beyond an owner's
+    capacity are dropped and produce ZERO vectors (choose capacity for
+    your skew; uniform IDs need ~1.3, worst-case exactness needs S).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def local_fn(table_shard, rows_local):
+        shape = rows_local.shape
+        ids = rows_local.reshape(-1)
+        n = ids.shape[0]
+        v_local = table_shard.shape[0]
+        cap = int(np.ceil(n / n_model * capacity_factor))
+
+        owner = ids // v_local  # (N,)
+        order = jnp.argsort(owner, stable=True)
+        sorted_ids = ids[order]
+        sorted_owner = owner[order]
+        counts = jnp.bincount(owner, length=n_model)
+        group_start = jnp.cumsum(counts) - counts
+        pos_in_group = jnp.arange(n) - group_start[sorted_owner]
+
+        # bucket IDs: (S, C); +1 shift so empty slots hold 0 ("no id")
+        send = jnp.zeros((n_model, cap), jnp.int32)
+        send = send.at[sorted_owner, pos_in_group].set(
+            sorted_ids + 1, mode="drop"
+        )
+        # exchange: shard s receives every shard's bucket destined for it
+        recv = jax.lax.all_to_all(
+            send, MODEL_AXIS, split_axis=0, concat_axis=0, tiled=False
+        )  # (S, C) on each shard: rows requested from THIS shard
+        got = recv.reshape(-1)  # (S*C,)
+        valid = got > 0
+        local = jnp.where(valid, got - 1, 0) - jax.lax.axis_index(
+            MODEL_AXIS
+        ) * v_local
+        local = jnp.clip(local, 0, v_local - 1)
+        emb = jnp.take(table_shard, local, axis=0)
+        emb = emb * valid[:, None].astype(emb.dtype)
+        # return the vectors to the requesting shards
+        back = jax.lax.all_to_all(
+            emb.reshape(n_model, cap, -1), MODEL_AXIS,
+            split_axis=0, concat_axis=0, tiled=False,
+        )  # (S, C, D): bucket s holds vectors for MY requests to shard s
+        d = back.shape[-1]
+        flat = back.reshape(n_model * cap, d)
+        slot = sorted_owner * cap + pos_in_group
+        overflow = pos_in_group >= cap
+        gathered = jnp.take(flat, jnp.clip(slot, 0, n_model * cap - 1),
+                            axis=0)
+        gathered = gathered * (~overflow)[:, None].astype(gathered.dtype)
+        # undo the owner sort
+        out = jnp.zeros_like(gathered).at[order].set(gathered)
+        return out.reshape(*shape, d)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return fn(table, rows.astype(jnp.int32))
+
+
+def shard_table_cols(table: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Column-shard a (V, D) table over the model axis (D split)."""
+    return jax.device_put(table, NamedSharding(mesh, P(None, MODEL_AXIS)))
+
+
+def sharded_gather_cols(
+    table: jnp.ndarray, rows: jnp.ndarray, mesh: Mesh
+) -> jnp.ndarray:
+    """Lookup in a COLUMN-sharded table: each shard gathers its D-slice
+    locally (no ID exchange at all) and the slices all-gather along D.
+    Best when D is large and IDs are skewed; comm is O(N*D) but the gather
+    itself never crosses shards."""
+
+    def local_fn(table_shard, rows_local):
+        emb = jnp.take(table_shard, rows_local.reshape(-1), axis=0)
+        full = jax.lax.all_gather(
+            emb, MODEL_AXIS, axis=emb.ndim - 1, tiled=True
+        )
+        return full.reshape(*rows_local.shape, -1)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, MODEL_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
         check_vma=False,
     )

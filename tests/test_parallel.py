@@ -130,3 +130,57 @@ def test_trainer_with_model_axis_table_sharding():
     p1 = tr.predict(data)
     p2 = tr2.predict(data)
     np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+
+def test_sharded_gather_a2a_matches_take(mesh_4x2):
+    from recsys_tpu.parallel.embedding_sharding import sharded_gather_a2a
+
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.normal(size=(64, 16)), jnp.float32)
+    rows = jnp.asarray(rng.integers(0, 64, (8, 6)), jnp.int32)
+    t = shard_table(table, mesh_4x2)
+    # generous capacity: exactness regardless of skew
+    got = sharded_gather_a2a(t, rows, mesh_4x2, capacity_factor=2.0)
+    np.testing.assert_allclose(got, jnp.take(table, rows, axis=0), rtol=1e-6)
+
+
+def test_sharded_gather_a2a_worst_case_skew(mesh_4x2):
+    from recsys_tpu.parallel.embedding_sharding import sharded_gather_a2a
+
+    # every id owned by shard 0: capacity_factor = n_model covers it exactly
+    table = jnp.arange(64 * 4, dtype=jnp.float32).reshape(64, 4)
+    rows = jnp.asarray(np.full((8, 5), 3), jnp.int32)  # all -> shard 0
+    t = shard_table(table, mesh_4x2)
+    got = sharded_gather_a2a(t, rows, mesh_4x2, capacity_factor=2.0)
+    np.testing.assert_allclose(got, jnp.take(table, rows, axis=0), rtol=1e-6)
+
+
+def test_sharded_gather_cols_matches_take(mesh_4x2):
+    from recsys_tpu.parallel.embedding_sharding import (
+        shard_table_cols,
+        sharded_gather_cols,
+    )
+
+    rng = np.random.default_rng(8)
+    table = jnp.asarray(rng.normal(size=(40, 16)), jnp.float32)
+    rows = jnp.asarray(rng.integers(0, 40, (8, 3)), jnp.int32)
+    t = shard_table_cols(table, mesh_4x2)
+    got = sharded_gather_cols(t, rows, mesh_4x2)
+    np.testing.assert_allclose(got, jnp.take(table, rows, axis=0), rtol=1e-6)
+
+
+def test_sharded_gather_a2a_gradient(mesh_4x2):
+    from recsys_tpu.parallel.embedding_sharding import sharded_gather_a2a
+
+    table = jnp.ones((16, 4), jnp.float32)
+    rows = jnp.asarray([[0, 5], [9, 15], [1, 1], [2, 3],
+                        [0, 1], [3, 4], [6, 7], [9, 10]], jnp.int32)
+    t = shard_table(table, mesh_4x2)
+
+    def loss(tab):
+        return jnp.sum(sharded_gather_a2a(tab, rows, mesh_4x2,
+                                          capacity_factor=4.0))
+
+    g = jax.grad(loss)(t)
+    want = jnp.zeros((16,)).at[rows.reshape(-1)].add(1.0)
+    np.testing.assert_allclose(np.asarray(g)[:, 0], want, rtol=1e-6)
