@@ -23,14 +23,26 @@ from recsys_tpu.core.features import (
 )
 
 
+def _parse_line(line: str) -> dict:
+    """Amazon dumps are python-literal lines (single quotes), not valid
+    JSON — the reason the reference resorted to per-line ``eval`` (:103).
+    ``ast.literal_eval`` parses them safely; real JSON also works."""
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        import ast
+
+        return ast.literal_eval(line)
+
+
 def create_amazon_electronic_dataset(
     reviews_path: str, meta_path: str, embed_dim: int = 8, maxlen: int = 40,
     seed: int = 2020,
 ):
     reviews = pd.DataFrame(
-        [json.loads(line) for line in open(reviews_path)]
+        [_parse_line(line) for line in open(reviews_path)]
     )[["reviewerID", "asin", "unixReviewTime"]]
-    meta = pd.DataFrame([json.loads(line) for line in open(meta_path)])
+    meta = pd.DataFrame([_parse_line(line) for line in open(meta_path)])
     meta = meta[["asin", "categories"]]
     meta["category"] = meta["categories"].map(lambda c: c[-1][-1])
     return build_amazon_arrays(reviews, meta[["asin", "category"]],

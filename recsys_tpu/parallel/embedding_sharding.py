@@ -116,6 +116,7 @@ def sharded_gather_a2a(
     rows: jnp.ndarray,
     mesh: Mesh,
     capacity_factor: float = 2.0,
+    dedup: bool = False,
 ) -> jnp.ndarray:
     """Row-sharded lookup via explicit all-to-all ID exchange.
 
@@ -137,6 +138,10 @@ def sharded_gather_a2a(
     def local_fn(table_shard, rows_local):
         shape = rows_local.shape
         ids = rows_local.reshape(-1)
+        if dedup:
+            # SURVEY.md §7.3: duplicate-ID dedup before the exchange — hot
+            # IDs cross the wire once; the inverse map re-expands after
+            ids, inverse = unique_with_counts_static(ids)
         n = ids.shape[0]
         v_local = table_shard.shape[0]
         cap = int(np.ceil(n / n_model * capacity_factor))
@@ -180,6 +185,8 @@ def sharded_gather_a2a(
         gathered = gathered * (~overflow)[:, None].astype(gathered.dtype)
         # undo the owner sort
         out = jnp.zeros_like(gathered).at[order].set(gathered)
+        if dedup:
+            out = jnp.take(out, inverse, axis=0)
         return out.reshape(*shape, d)
 
     fn = shard_map(

@@ -158,3 +158,31 @@ def test_sasrec_all_positions_layout():
             assert p[t] == h[t + 1]
     # negatives nonzero exactly where targets are
     assert np.all((train["neg"] > 0) == (train["pos"] > 0))
+
+
+def test_amazon_python_literal_lines(tmp_path):
+    """Real amazon dumps are python-literal lines, not JSON."""
+    from recsys_tpu.data.amazon import create_amazon_electronic_dataset
+
+    reviews = tmp_path / "reviews.json"
+    meta = tmp_path / "meta.json"
+    rng = np.random.default_rng(3)
+    asins = [f"B{i:04d}" for i in range(10)]
+    with open(meta, "w") as f:
+        for a in asins:
+            f.write(str({"asin": a,
+                         "categories": [["Electronics", f"cat{hash(a)%3}"]]})
+                    + "\n")
+    with open(reviews, "w") as f:
+        t = 0
+        for u in range(12):
+            for _ in range(4):
+                f.write(str({"reviewerID": f"U{u}",
+                             "asin": asins[int(rng.integers(0, 10))],
+                             "unixReviewTime": t}) + "\n")
+                t += 1
+    schema, train, val, test = create_amazon_electronic_dataset(
+        str(reviews), str(meta), maxlen=5
+    )
+    assert len(train["label"]) > 0
+    assert train["hist"].shape[1] == 5

@@ -184,3 +184,16 @@ def test_sharded_gather_a2a_gradient(mesh_4x2):
     g = jax.grad(loss)(t)
     want = jnp.zeros((16,)).at[rows.reshape(-1)].add(1.0)
     np.testing.assert_allclose(np.asarray(g)[:, 0], want, rtol=1e-6)
+
+
+def test_sharded_gather_a2a_dedup(mesh_4x2):
+    from recsys_tpu.parallel.embedding_sharding import sharded_gather_a2a
+
+    rng = np.random.default_rng(9)
+    table = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+    # heavy duplication: only 4 distinct ids per row set
+    rows = jnp.asarray(rng.integers(0, 4, (8, 10)) * 7, jnp.int32)
+    t = shard_table(table, mesh_4x2)
+    got = sharded_gather_a2a(t, rows, mesh_4x2, capacity_factor=2.0,
+                             dedup=True)
+    np.testing.assert_allclose(got, jnp.take(table, rows, axis=0), rtol=1e-6)
