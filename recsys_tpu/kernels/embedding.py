@@ -27,6 +27,62 @@ def gather(table: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(table, rows, axis=0)
 
 
+def pack_factor(embed_dim: int, vocab: int | None = None) -> int:
+    """Vocab rows per 512-byte physical row (f32 lane width 128).
+
+    XLA's TPU gather/scatter cost is per physical ROW, and rows narrower
+    than the 128-lane vector register waste bandwidth.  Measured on v5e
+    (26 tables, 16384 updates each): scatter-add into (100k, 16) tables
+    takes 12.6 ms vs 4.0 ms into the byte-identical packed (12.5k, 128)
+    layout; (1M, 16) takes 44 ms vs 10 ms packed.  Gathers show the same
+    ordering.  The pack factor keeps ``pack * embed_dim`` at one 128-lane
+    register row; small vocabularies pack less so the physical table keeps
+    >= 64 rows (degenerate 1-row tables can't row-shard and gain nothing).
+    """
+    p = max(1, 128 // embed_dim)
+    if vocab is not None:
+        while p > 1 and vocab < p * 64:
+            p //= 2
+    return p
+
+
+def packed_gather(
+    table: jnp.ndarray, rows: jnp.ndarray, pack: int, embed_dim: int
+) -> jnp.ndarray:
+    """Gather vocab ``rows`` from a row-packed table.
+
+    ``table`` is (ceil(V / pack), pack * embed_dim): physical row ``r``
+    holds vocab rows ``r*pack .. r*pack+pack-1`` side by side.  The fetch
+    reads the wide physical row; the sub-row is selected with a one-hot
+    einsum (vectorised multiply+reduce — NOT take_along_axis, which would
+    lower to another narrow gather).  The autodiff backward spreads the
+    cotangent into the wide layout and scatter-adds whole physical rows,
+    which is the fast-scatter path this layout exists for.
+    """
+    if pack == 1:
+        return jnp.take(table, rows, axis=0)
+    prow = rows // pack
+    sub = rows % pack
+    wide = jnp.take(table, prow, axis=0)  # rows.shape + (pack*D,)
+    wide = wide.reshape(*rows.shape, pack, embed_dim)
+    onehot = jax.nn.one_hot(sub, pack, dtype=wide.dtype)
+    return jnp.einsum("...pd,...p->...d", wide, onehot)
+
+
+def pool(emb: jnp.ndarray, mask: jnp.ndarray, *, mode: str = "mean"):
+    """Pool (B, L, D) embeddings over unmasked positions -> (B, D)."""
+    m = mask.astype(emb.dtype)[..., None]
+    summed = jnp.sum(emb * m, axis=1)
+    if mode == "sum":
+        return summed
+    count = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    if mode == "mean":
+        return summed / count
+    if mode == "sqrtn":
+        return summed / jnp.sqrt(count)
+    raise ValueError(f"unknown pooling mode {mode!r}")
+
+
 def segment_sum_gather(
     table: jnp.ndarray,
     rows: jnp.ndarray,
@@ -39,14 +95,4 @@ def segment_sum_gather(
     rows: (B, L) int32; mask: (B, L) bool/float (1 = real token).
     Returns (B, D).  ``mode`` in {'mean', 'sum', 'sqrtn'}.
     """
-    emb = gather(table, rows)  # (B, L, D)
-    m = mask.astype(emb.dtype)[..., None]
-    summed = jnp.sum(emb * m, axis=1)
-    if mode == "sum":
-        return summed
-    count = jnp.maximum(jnp.sum(m, axis=1), 1.0)
-    if mode == "mean":
-        return summed / count
-    if mode == "sqrtn":
-        return summed / jnp.sqrt(count)
-    raise ValueError(f"unknown pooling mode {mode!r}")
+    return pool(gather(table, rows), mask, mode=mode)

@@ -23,12 +23,18 @@ class AutoInt(nn.Module):
     num_layers: int = 3
     num_heads: int = 2
     dropout_rate: float = 0.0
+    # enables the StackedEmbedding perturbation tap so the Trainer's
+    # sparse (touched-rows-only) embedding optimizer can be used --
+    # see recsys_tpu/train/sparse_embed.py
+    sparse_embed_grads: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense = batch["sparse"], batch.get("dense")
         d = self.schema.embed_dim
-        x = StackedEmbedding(self.schema)(sparse)  # (B, F, D)
+        x = StackedEmbedding(
+            self.schema, perturb_out=self.sparse_embed_grads
+        )(sparse)  # (B, F, D)
         if dense is not None and dense.shape[-1] > 0:
             # per-dense-feature learned vector scaled by the value
             v = self.param(

@@ -20,11 +20,17 @@ class DCN(nn.Module):
     cross_layers: int = 2
     hidden_units: Sequence[int] = (256, 128, 64)
     dropout_rate: float = 0.0
+    # enables the StackedEmbedding perturbation tap so the Trainer's
+    # sparse (touched-rows-only) embedding optimizer can be used --
+    # see recsys_tpu/train/sparse_embed.py
+    sparse_embed_grads: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense = batch["sparse"], batch.get("dense")
-        field_embs = StackedEmbedding(self.schema)(sparse)
+        field_embs = StackedEmbedding(
+            self.schema, perturb_out=self.sparse_embed_grads
+        )(sparse)
         b, f, d = field_embs.shape
         x0 = field_embs.reshape(b, f * d)
         if dense is not None and dense.shape[-1] > 0:

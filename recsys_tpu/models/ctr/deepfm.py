@@ -21,11 +21,17 @@ class DeepFM(nn.Module):
     schema: FeatureSchema
     hidden_units: Sequence[int] = (256, 128, 64)
     dropout_rate: float = 0.0
+    # enables the StackedEmbedding perturbation tap so the Trainer's
+    # sparse (touched-rows-only) embedding optimizer can be used --
+    # see recsys_tpu/train/sparse_embed.py
+    sparse_embed_grads: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense = batch["sparse"], batch.get("dense")
-        field_embs = StackedEmbedding(self.schema)(sparse)  # (B, F, D)
+        field_embs = StackedEmbedding(
+            self.schema, perturb_out=self.sparse_embed_grads
+        )(sparse)  # (B, F, D)
         b, f, d = field_embs.shape
 
         # FM head over the shared embeddings.

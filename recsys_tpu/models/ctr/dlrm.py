@@ -31,12 +31,18 @@ class DLRM(nn.Module):
     # bfloat16 runs MLPs + interaction on the MXU's native precision
     # (params and loss stay float32); None = full float32
     compute_dtype: jnp.dtype | None = None
+    # enables the StackedEmbedding perturbation tap so the Trainer's
+    # sparse (touched-rows-only) embedding optimizer can be used --
+    # see recsys_tpu/train/sparse_embed.py
+    sparse_embed_grads: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense = batch["sparse"], batch.get("dense")
         d = self.schema.embed_dim
-        field_embs = StackedEmbedding(self.schema)(sparse)  # (B, F, D)
+        field_embs = StackedEmbedding(
+            self.schema, perturb_out=self.sparse_embed_grads
+        )(sparse)  # (B, F, D)
         if self.compute_dtype is not None:
             field_embs = field_embs.astype(self.compute_dtype)
 

@@ -19,13 +19,19 @@ from recsys_tpu.ops.embedding import SparseLinear, StackedEmbedding
 
 class FM(nn.Module):
     schema: FeatureSchema
+    # enables the StackedEmbedding perturbation tap so the Trainer's
+    # sparse (touched-rows-only) embedding optimizer can be used --
+    # see recsys_tpu/train/sparse_embed.py
+    sparse_embed_grads: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse = batch["sparse"]  # (B, F_s) int32
         dense = batch.get("dense")  # (B, F_d) float32 or None
 
-        field_embs = StackedEmbedding(self.schema)(sparse)  # (B, F_s, D)
+        field_embs = StackedEmbedding(
+            self.schema, perturb_out=self.sparse_embed_grads
+        )(sparse)  # (B, F_s, D)
         first = SparseLinear(self.schema)(sparse)  # (B,)
         bias = self.param("bias", nn.initializers.zeros, ())
 

@@ -23,11 +23,17 @@ class WideDeep(nn.Module):
     hidden_units: Sequence[int] = (256, 128, 64)
     dropout_rate: float = 0.0
     wide_uses_sparse: bool = True
+    # enables the StackedEmbedding perturbation tap so the Trainer's
+    # sparse (touched-rows-only) embedding optimizer can be used --
+    # see recsys_tpu/train/sparse_embed.py
+    sparse_embed_grads: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense = batch["sparse"], batch.get("dense")
-        field_embs = StackedEmbedding(self.schema)(sparse)
+        field_embs = StackedEmbedding(
+            self.schema, perturb_out=self.sparse_embed_grads
+        )(sparse)
         b, f, d = field_embs.shape
 
         wide = jnp.zeros((b,), field_embs.dtype)

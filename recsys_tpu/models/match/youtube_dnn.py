@@ -19,7 +19,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from recsys_tpu.core.features import FeatureSchema
-from recsys_tpu.kernels import dispatch as dkernels
 from recsys_tpu.kernels import embedding as ekernels
 from recsys_tpu.ops.embedding import StackedEmbedding
 from recsys_tpu.ops.mlp import MLP
@@ -53,12 +52,8 @@ class YoutubeDNN(nn.Module):
         hist = batch["hist"]  # (B, L)
         pad_id = self.user_schema.field(self.hist_field).pad_id
         mask = hist != pad_id
-        rows = hist.astype(jnp.int32) + self.user_table.field_offset(
-            self.hist_field
-        )
-        pooled = dkernels.segment_sum_gather(
-            self.user_table.table_for(self.hist_field), rows, mask,
-            mode=self.pooling,
+        pooled = self.user_table.pooled_lookup(
+            self.hist_field, hist, mask, mode=self.pooling
         )  # (B, D)
         parts = [pooled]
         if "user_sparse" in batch and batch["user_sparse"].shape[-1] > 0:

@@ -51,7 +51,13 @@ class Trainer:
         weight_decay: float = 0.0,
         mesh=None,
         seed: int = 0,
+        embedding_optimizer: str | None = None,
+        embedding_lr: float | None = None,
     ):
+        """``embedding_optimizer`` ('lazy_adam' | 'rowwise_adagrad') switches
+        the StackedEmbedding tables to sparse touched-rows-only updates (the
+        model must be constructed with ``sparse_embed_grads=True``); dense
+        params keep the regular optax path.  See train/sparse_embed.py."""
         self.model = model
         self.loss_fn = loss_fn
         self.tx = optimizer or optax.adam(learning_rate)
@@ -59,6 +65,23 @@ class Trainer:
             self.tx = optax.chain(
                 optax.add_decayed_weights(weight_decay), self.tx
             )
+        self.weight_decay = weight_decay
+        if embedding_optimizer is not None:
+            from recsys_tpu.train import sparse_embed
+
+            if embedding_optimizer not in sparse_embed.KINDS:
+                raise ValueError(
+                    f"embedding_optimizer={embedding_optimizer!r} not in "
+                    f"{sparse_embed.KINDS}"
+                )
+        self.embedding_optimizer = embedding_optimizer
+        self.embedding_lr = (
+            embedding_lr if embedding_lr is not None else learning_rate
+        )
+        self._embed_plan = None
+        self._pert_treedef = None
+        self._pert_tail = None  # (F, D) of the perturbation tap
+        self._pert_dtype = None
         self.mesh = mesh
         self.rng = jax.random.PRNGKey(seed)
         self.state: TrainState | None = None
@@ -90,7 +113,7 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
+            opt_state=self._init_opt_state(params, variables),
         )
         if self.mesh is not None:
             # leaves created outside device_put (step counter, adam count)
@@ -109,11 +132,62 @@ class Trainer:
             self.state = jax.tree_util.tree_map(place, self.state)
         return self.state
 
+    def _init_opt_state(self, params, variables):
+        """Dense path: one optax state over all params.  Sparse-embedding
+        path: optax over the non-table params + per-table moment buffers
+        (placed with each table's sharding under a mesh)."""
+        if self.embedding_optimizer is None:
+            return self.tx.init(params)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from recsys_tpu.train import sparse_embed
+
+        pert = flax.core.unfreeze(variables.get("perturbations", {}))
+        leaves, treedef = jax.tree_util.tree_flatten(pert)
+        if len(leaves) != 1:
+            raise ValueError(
+                "embedding_optimizer requires exactly one StackedEmbedding "
+                "perturbation tap; construct the model with "
+                f"sparse_embed_grads=True (found {len(leaves)} taps)"
+            )
+        self._pert_treedef = treedef
+        self._pert_tail = leaves[0].shape[1:]
+        self._pert_dtype = leaves[0].dtype
+        schema = getattr(self.model, "schema", None)
+        if schema is None:
+            raise ValueError(
+                "embedding_optimizer needs the model to expose `.schema`"
+            )
+        self._embed_plan = sparse_embed.build_plan(params, schema)
+        rest, tables = sparse_embed.split_params(params, self._embed_plan)
+        emb = sparse_embed.init_state(
+            tables, self.embedding_optimizer, self._embed_plan
+        )
+        if self.mesh is not None:
+            # moments follow their table's row sharding (acc is 1-D: keep
+            # the row axis of the table's spec only)
+            def place(v, t):
+                spec = (
+                    t.sharding.spec
+                    if isinstance(t.sharding, NamedSharding)
+                    else P()
+                )
+                return jax.device_put(
+                    v, NamedSharding(self.mesh, P(*spec[: v.ndim]))
+                )
+
+            emb = {
+                name: {k: place(v, tables[name]) for k, v in st.items()}
+                for name, st in emb.items()
+            }
+        return {"dense": self.tx.init(rest), "emb": emb}
+
     # -- compiled steps ---------------------------------------------------
     def _build_steps(self):
         model, loss_fn, tx = self.model, self.loss_fn, self.tx
 
-        def train_step(state: TrainState, batch: dict, rng):
+        def dense_train_step(state: TrainState, batch: dict, rng):
             def compute_loss(params):
                 variables = {"params": params, "batch_stats": state.batch_stats}
                 outputs, updates = model.apply(
@@ -139,6 +213,71 @@ class Trainer:
                 opt_state=new_opt,
             )
             return new_state, loss
+
+        def sparse_train_step(state: TrainState, batch: dict, rng):
+            """Tables are NOT differentiated: the loss is taken w.r.t. the
+            non-table params and the StackedEmbedding perturbation tap, and
+            the tables are updated sparsely at the touched rows only (see
+            train/sparse_embed.py for the measured motivation)."""
+            from recsys_tpu.train import sparse_embed
+
+            plan = self._embed_plan
+            rest, tables = sparse_embed.split_params(state.params, plan)
+            b = batch["sparse"].shape[0]
+            pert0 = jnp.zeros((b, *self._pert_tail), self._pert_dtype)
+            pert_tree = jax.tree_util.tree_unflatten(
+                self._pert_treedef, [pert0]
+            )
+
+            def compute_loss(rest_p, pert):
+                full = sparse_embed.merge_params(rest_p, tables, plan)
+                variables = {
+                    "params": full,
+                    "batch_stats": state.batch_stats,
+                    "perturbations": pert,
+                }
+                outputs, updates = model.apply(
+                    variables,
+                    batch,
+                    training=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                return loss_fn(outputs, batch), updates.get(
+                    "batch_stats", state.batch_stats
+                )
+
+            (loss, new_stats), (grest, gpert) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1), has_aux=True
+            )(rest, pert_tree)
+            updates, new_dense = tx.update(
+                grest, state.opt_state["dense"], rest
+            )
+            new_rest = optax.apply_updates(rest, updates)
+            new_tables, new_emb = sparse_embed.apply_updates(
+                tables,
+                state.opt_state["emb"],
+                plan,
+                batch["sparse"],
+                jax.tree_util.tree_leaves(gpert)[0],
+                kind=self.embedding_optimizer,
+                lr=self.embedding_lr,
+                step=state.step + 1,
+                weight_decay=self.weight_decay,
+            )
+            new_state = state.replace(
+                step=state.step + 1,
+                params=sparse_embed.merge_params(new_rest, new_tables, plan),
+                batch_stats=new_stats,
+                opt_state={"dense": new_dense, "emb": new_emb},
+            )
+            return new_state, loss
+
+        train_step = (
+            sparse_train_step
+            if self._embed_plan is not None
+            else dense_train_step
+        )
 
         def eval_step(state: TrainState, batch: dict):
             variables = {"params": state.params, "batch_stats": state.batch_stats}
