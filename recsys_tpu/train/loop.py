@@ -371,18 +371,36 @@ class Trainer:
 
         history = {"loss": [], "val_loss": []}
         best_val, best_params, best_stats, bad_epochs = np.inf, None, None, 0
+        from recsys_tpu.data.prefetch import prefetch
+
         for epoch in range(epochs):
             t0 = time.time()
-            total, count = 0.0, 0
-            for batch in self._batches(train_data, batch_size, True, True):
+            # Keep the step loop free of device syncs: losses accumulate as
+            # device scalars (async dispatch runs ahead; JAX's inflight
+            # throttle bounds the queue) and are fetched ONCE per epoch.
+            # Fetching float(loss) per step costs a host<->device round trip
+            # per step — measured 94.8 ms/step vs 11.2 ms raw on the DLRM
+            # bench (tunnelled v5e).  Host batch assembly overlaps the same
+            # way via the prefetch thread.
+            losses, count = [], 0
+            # host assembly prefetches in a thread; the device transfer
+            # stays on the main thread (a worker-thread device_put measured
+            # SLOWER here — PJRT client contention)
+            for batch in prefetch(
+                self._batches(train_data, batch_size, True, True)
+            ):
                 self.rng, step_rng = jax.random.split(self.rng)
                 db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
                 self.state, loss = self._train_step(self.state, db, step_rng)
-                total += float(loss)
+                losses.append(loss)
                 count += 1
                 if log_every and count % log_every == 0 and verbose:
-                    print(f"  step {count}: loss={total / count:.5f}")
-            train_loss = total / max(count, 1)
+                    # explicit sync point, only when step logging is on
+                    running = float(jnp.mean(jnp.stack(losses)))
+                    print(f"  step {count}: loss={running:.5f}")
+            train_loss = (
+                float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            )
             history["loss"].append(train_loss)
 
             msg = f"epoch {epoch + 1}/{epochs} loss={train_loss:.5f}"
@@ -450,19 +468,21 @@ class Trainer:
         if self._eval_step is None:
             self._build_steps()
         n_total = _num_examples(data)
-        total, n = 0.0, 0
+        parts, n = [], 0  # device scalars; ONE fetch at the end
         for batch in self._batches(data, batch_size, False, True):
             db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
             outputs = self._eval_step(self.state, db)
-            total += float(self.loss_fn(outputs, db)) * batch_size
+            parts.append(self.loss_fn(outputs, db) * batch_size)
             n += batch_size
         if n < n_total:
             tail = jax.tree_util.tree_map(lambda a: a[n:], data)
             db = mesh_lib.shard_batch(_device_batch(tail), self.mesh)
             outputs = self._eval_step(self.state, db)
-            total += float(self.loss_fn(outputs, db)) * (n_total - n)
+            parts.append(self.loss_fn(outputs, db) * (n_total - n))
             n = n_total
-        return total / max(n, 1)
+        if not parts:
+            return 0.0
+        return float(jnp.sum(jnp.stack(parts))) / max(n, 1)
 
     def predict(self, data: dict, batch_size: int = 4096):
         """Forward pass over a dataset; returns stacked outputs (pytree)."""
