@@ -140,6 +140,84 @@ void sample_negatives(int64_t n_queries, int32_t n_neg, int32_t lo,
   }
 }
 
+// -------------------------------------------- leave-last-2 sequence builder
+// SASRec-protocol dataset construction (mirrors the Python builder in
+// recsys_tpu/data/movielens.py::build_sasrec_dataset; the per-user Python
+// loop is the slowest L1 path on large ratings files).
+//
+// items: remapped 1-based ids (0 = pad), grouped by user in CSR form
+// (user_off[u] .. user_off[u+1]).  Users with < 3 interactions are skipped.
+// Exploded mode (all_positions = 0): one train row per position t in
+// [1, len-3]; hist = front-padded seq[:t], pos = seq[t], one negative.
+// all_positions = 1: one train row per user with len >= 4; hist =
+// pad(seq[:-3]) inputs, pos = pad(seq[1:-2]) per-position targets, one
+// negative per real position (pad positions 0).
+// val: hist = pad(seq[:-2]), pos = seq[-2]; test: hist = pad(seq[:-1]),
+// pos = seq[-1]; test_neg negatives each, never in the user's history.
+// Writes row counts to out_counts = {n_train, n_eval}.
+static void pad_write(const int32_t* seq, int64_t len, int32_t maxlen,
+                      int32_t* dst) {
+  int64_t take = len < maxlen ? len : maxlen;
+  int64_t padn = maxlen - take;
+  for (int64_t i = 0; i < padn; ++i) dst[i] = 0;
+  memcpy(dst + padn, seq + (len - take), (size_t)take * sizeof(int32_t));
+}
+
+void build_seq_leave_last2(
+    const int32_t* items, const int64_t* user_off, int64_t n_users,
+    int32_t maxlen, int32_t num_items, int32_t test_neg, uint64_t seed,
+    int all_positions, int32_t* tr_hist, int32_t* tr_pos, int32_t* tr_neg,
+    int32_t* va_hist, int32_t* va_pos, int32_t* va_neg, int32_t* te_hist,
+    int32_t* te_pos, int32_t* te_neg, int64_t* out_counts) {
+  int64_t n_train = 0, n_eval = 0;
+  uint32_t range = (uint32_t)(num_items - 1);  // candidates in [1, num_items)
+  for (int64_t u = 0; u < n_users; ++u) {
+    const int32_t* seq = items + user_off[u];
+    int64_t len = user_off[u + 1] - user_off[u];
+    if (len < 3) continue;
+    std::unordered_set<int32_t> excl(seq, seq + len);
+    Pcg32 rng{seed + (uint64_t)u * 0x9E3779B97F4A7C15ULL,
+              0xDA3E39CB94B95BDBULL | 1};
+    auto draw = [&]() {
+      int32_t cand;
+      do {
+        cand = 1 + (int32_t)pcg32_below(&rng, range);
+      } while (excl.count(cand));
+      return cand;
+    };
+    if (all_positions) {
+      int64_t tlen = len - 2;  // train_seq = seq[:-2]
+      if (tlen >= 2) {
+        pad_write(seq, tlen - 1, maxlen, tr_hist + n_train * maxlen);
+        pad_write(seq + 1, tlen - 1, maxlen, tr_pos + n_train * maxlen);
+        int32_t* neg = tr_neg + n_train * maxlen;
+        const int32_t* tgt = tr_pos + n_train * maxlen;
+        for (int32_t j = 0; j < maxlen; ++j)
+          neg[j] = tgt[j] > 0 ? draw() : 0;
+        ++n_train;
+      }
+    } else {
+      for (int64_t t = 1; t <= len - 3; ++t) {
+        pad_write(seq, t, maxlen, tr_hist + n_train * maxlen);
+        tr_pos[n_train] = seq[t];
+        tr_neg[n_train] = draw();
+        ++n_train;
+      }
+    }
+    pad_write(seq, len - 2, maxlen, va_hist + n_eval * maxlen);
+    va_pos[n_eval] = seq[len - 2];
+    for (int32_t j = 0; j < test_neg; ++j)
+      va_neg[n_eval * test_neg + j] = draw();
+    pad_write(seq, len - 1, maxlen, te_hist + n_eval * maxlen);
+    te_pos[n_eval] = seq[len - 1];
+    for (int32_t j = 0; j < test_neg; ++j)
+      te_neg[n_eval * test_neg + j] = draw();
+    ++n_eval;
+  }
+  out_counts[0] = n_train;
+  out_counts[1] = n_eval;
+}
+
 // ------------------------------------------------------------- shuffling
 // Deterministic Fisher-Yates permutation of [0, n).
 void shuffle_indices(int64_t n, uint64_t seed, int64_t* out) {

@@ -115,7 +115,8 @@ def create_sasrec_dataset(
 ):
     df = pd.read_csv(ratings_csv)  # ml-latest-small format
     df = df.rename(columns={"userId": "user_id", "movieId": "item_id"})
-    return build_sasrec_dataset(df, maxlen, test_neg_num, min_item_count, seed)
+    return build_sasrec_dataset(df, maxlen, test_neg_num, min_item_count, seed,
+                                use_native="auto")
 
 
 def build_sasrec_dataset(
@@ -125,6 +126,7 @@ def build_sasrec_dataset(
     min_item_count: int = 5,
     seed: int = 2020,
     all_positions: bool = False,
+    use_native: bool | str = False,
 ):
     """Returns (num_items, train_dict, val_dict, test_dict).
 
@@ -134,6 +136,10 @@ def build_sasrec_dataset(
     whole sequences with per-position targets/negatives (pos/neg (B, L)).
     Validation targets the second-to-last item, test the last — the
     leave-last-2 protocol either way.
+
+    ``use_native`` ('auto' | True | False) routes the per-user row
+    construction through the C++ builder (native/recsys_native.cc) — same
+    splits and padding, different (still seeded) negative-sampling stream.
     """
     rng = np.random.default_rng(seed)
     counts = ratings["item_id"].value_counts()
@@ -146,6 +152,25 @@ def build_sasrec_dataset(
     num_items = len(item_ids) + 1
 
     df = df.sort_values(["user_id", "timestamp"], kind="mergesort")
+
+    if use_native:
+        from recsys_tpu.data import native
+
+        if native.available():
+            items = df["iid"].to_numpy(np.int32)
+            # CSR offsets over the user-sorted stream
+            _, starts = np.unique(df["user_id"].to_numpy(), return_index=True)
+            user_off = np.concatenate(
+                [np.sort(starts), [len(items)]]
+            ).astype(np.int64)
+            train, val, test = native.build_seq_leave_last2(
+                items, user_off, maxlen, num_items, test_neg_num,
+                seed=seed, all_positions=all_positions,
+            )
+            return num_items, train, val, test
+        if use_native is True:  # explicit request, no silent fallback
+            raise RuntimeError("native library unavailable")
+
     seqs = df.groupby("user_id")["iid"].apply(list)
 
     def sample_neg(exclude: set, n: int) -> list[int]:

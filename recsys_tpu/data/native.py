@@ -50,6 +50,15 @@ def _load():
     lib.shuffle_indices.argtypes = [
         ctypes.c_int64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64)
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.build_seq_leave_last2.restype = None
+    lib.build_seq_leave_last2.argtypes = [
+        i32p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+        ctypes.c_int,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return lib
 
@@ -123,6 +132,70 @@ def sample_negatives(
                 out[i, got] = c
                 got += 1
     return out
+
+
+def build_seq_leave_last2(
+    items: np.ndarray,
+    user_off: np.ndarray,
+    maxlen: int,
+    num_items: int,
+    test_neg: int,
+    seed: int = 0,
+    all_positions: bool = False,
+):
+    """Native SASRec-protocol dataset fill (see native/recsys_native.cc).
+
+    ``items``: 1-based remapped item ids sorted by (user, time); ``user_off``
+    CSR offsets per user.  Returns (train, val, test) dicts shaped like
+    data.movielens.build_sasrec_dataset's.  Raises if the library is
+    unavailable — callers fall back to the Python builder.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    items = np.ascontiguousarray(items, np.int32)
+    user_off = np.ascontiguousarray(user_off, np.int64)
+    n_users = len(user_off) - 1
+    cap_tr = len(items) if not all_positions else n_users
+    cap_ev = n_users
+    neg_w = maxlen if all_positions else 1
+    pos_w = maxlen if all_positions else 1
+    tr_hist = np.zeros((cap_tr, maxlen), np.int32)
+    tr_pos = np.zeros((cap_tr, pos_w), np.int32)
+    tr_neg = np.zeros((cap_tr, neg_w), np.int32)
+    va_hist = np.zeros((cap_ev, maxlen), np.int32)
+    va_pos = np.zeros(cap_ev, np.int32)
+    va_neg = np.zeros((cap_ev, test_neg), np.int32)
+    te_hist = np.zeros((cap_ev, maxlen), np.int32)
+    te_pos = np.zeros(cap_ev, np.int32)
+    te_neg = np.zeros((cap_ev, test_neg), np.int32)
+    counts = np.zeros(2, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.build_seq_leave_last2(
+        items.ctypes.data_as(i32p),
+        user_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_users, maxlen, num_items, test_neg, seed,
+        1 if all_positions else 0,
+        tr_hist.ctypes.data_as(i32p), tr_pos.ctypes.data_as(i32p),
+        tr_neg.ctypes.data_as(i32p), va_hist.ctypes.data_as(i32p),
+        va_pos.ctypes.data_as(i32p), va_neg.ctypes.data_as(i32p),
+        te_hist.ctypes.data_as(i32p), te_pos.ctypes.data_as(i32p),
+        te_neg.ctypes.data_as(i32p),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    nt, ne = int(counts[0]), int(counts[1])
+
+    def pack(h, p, n, m):
+        out = {"hist": h[:m], "pos": p[:m], "neg": n[:m]}
+        if out["pos"].ndim == 2 and out["pos"].shape[1] == 1:
+            out["pos"] = out["pos"][:, 0]
+        return out
+
+    return (
+        pack(tr_hist, tr_pos, tr_neg, nt),
+        pack(va_hist, va_pos, va_neg, ne),
+        pack(te_hist, te_pos, te_neg, ne),
+    )
 
 
 def shuffle_indices(n: int, seed: int = 0) -> np.ndarray:

@@ -88,3 +88,64 @@ def test_native_criteo_rejects_garbage_file():
         f.write("label,stuff\n1,2\n")
     with pytest.raises(ValueError, match="no valid rows"):
         create_criteo_dataset(path, use_native=True)
+
+
+def test_native_seq_leave_last2_matches_python_structure():
+    """Native SASRec builder: deterministic fields (hist/pos/splits) match
+    the Python builder exactly; negatives obey the exclusion invariant."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from recsys_tpu.data import native
+    from recsys_tpu.data.movielens import build_sasrec_dataset
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 120, n),
+        "item_id": rng.integers(0, 300, n),
+        "timestamp": rng.integers(0, 10_000, n),
+        "rating": np.ones(n),
+    })
+    for all_pos in (False, True):
+        ni_p, tr_p, va_p, te_p = build_sasrec_dataset(
+            df, maxlen=12, test_neg_num=5, min_item_count=2, seed=7,
+            all_positions=all_pos, use_native=False)
+        ni_n, tr_n, va_n, te_n = build_sasrec_dataset(
+            df, maxlen=12, test_neg_num=5, min_item_count=2, seed=7,
+            all_positions=all_pos, use_native=True)
+        assert ni_p == ni_n
+        for a, b in [(tr_p, tr_n), (va_p, va_n), (te_p, te_n)]:
+            np.testing.assert_array_equal(a["hist"], b["hist"])
+            np.testing.assert_array_equal(a["pos"], b["pos"])
+            assert a["neg"].shape == b["neg"].shape
+        # negatives: in range, never in the user's history row
+        for split in (tr_n, va_n, te_n):
+            negs = split["neg"]
+            real = negs[negs != 0] if all_pos else negs
+            assert real.min() >= 1 and real.max() < ni_n
+        for i in range(len(te_n["hist"])):
+            hist_set = set(te_n["hist"][i]) | {int(te_n["pos"][i])}
+            assert not (set(te_n["neg"][i].tolist()) & hist_set)
+
+
+def test_native_seq_builder_rejects_when_unavailable(monkeypatch):
+    import pandas as pd
+    import numpy as np
+    import pytest
+
+    from recsys_tpu.data import native as native_mod
+    from recsys_tpu.data.movielens import build_sasrec_dataset
+
+    monkeypatch.setattr(native_mod, "_load", lambda: None)
+    monkeypatch.setattr(native_mod, "_lib", None, raising=False)
+    df = pd.DataFrame({
+        "user_id": [0] * 5, "item_id": np.arange(5),
+        "timestamp": np.arange(5), "rating": np.ones(5),
+    })
+    with pytest.raises(RuntimeError, match="native"):
+        build_sasrec_dataset(df, min_item_count=1, use_native=True)
