@@ -199,6 +199,111 @@ def sharded_gather_a2a(
     return fn(table, rows.astype(jnp.int32))
 
 
+def sharded_gather_a2a_pipelined(
+    table: jnp.ndarray,
+    rows: jnp.ndarray,
+    mesh: Mesh,
+    num_chunks: int = 2,
+    capacity_factor: float = 2.0,
+) -> jnp.ndarray:
+    """:func:`sharded_gather_a2a` with an explicit comm/compute pipeline.
+
+    The batch is split into ``num_chunks`` id chunks and the schedule is
+    issued as: ALL id all-to-alls first (mutually independent), then per
+    chunk the local gather followed by its vector all-to-all.  With the
+    chunks' collectives data-independent of each other's compute, XLA's
+    latency-hiding scheduler can run chunk k's return exchange while chunk
+    k+1's local gather computes — the explicit overlap STATUS.md's round-1
+    gap called for.  Semantics are identical to ``sharded_gather_a2a``
+    (same capacity/drop rule per chunk, applied to chunk-local counts).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def bucket(ids, cap):
+        """Owner-bucket one chunk's ids -> (send (S,C), undo state)."""
+        n = ids.shape[0]
+        v_local = table.shape[0] // n_model
+        owner = ids // v_local
+        order = jnp.argsort(owner, stable=True)
+        sorted_ids = ids[order]
+        sorted_owner = owner[order]
+        counts = jnp.bincount(owner, length=n_model)
+        group_start = jnp.cumsum(counts) - counts
+        pos_in_group = jnp.arange(n) - group_start[sorted_owner]
+        send = jnp.zeros((n_model, cap), jnp.int32)
+        send = send.at[sorted_owner, pos_in_group].set(
+            sorted_ids + 1, mode="drop"
+        )
+        return send, (order, sorted_owner, pos_in_group)
+
+    def serve(table_shard, recv):
+        """Gather this shard's rows for one chunk's received requests."""
+        v_local = table_shard.shape[0]
+        got = recv.reshape(-1)
+        valid = got > 0
+        local = jnp.where(valid, got - 1, 0) - jax.lax.axis_index(
+            MODEL_AXIS
+        ) * v_local
+        local = jnp.clip(local, 0, v_local - 1)
+        emb = jnp.take(table_shard, local, axis=0)
+        return emb * valid[:, None].astype(emb.dtype)
+
+    def unbucket(back, state, cap, d):
+        order, sorted_owner, pos_in_group = state
+        flat = back.reshape(n_model * cap, d)
+        slot = sorted_owner * cap + pos_in_group
+        overflow = pos_in_group >= cap
+        gathered = jnp.take(
+            flat, jnp.clip(slot, 0, n_model * cap - 1), axis=0
+        )
+        gathered = gathered * (~overflow)[:, None].astype(gathered.dtype)
+        return jnp.zeros_like(gathered).at[order].set(gathered)
+
+    def local_fn(table_shard, rows_local):
+        shape = rows_local.shape
+        flat = rows_local.reshape(-1)
+        n = flat.shape[0]
+        k = max(1, min(num_chunks, n))
+        pad = (-n) % k
+        flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
+        chunks = flat.reshape(k, -1)
+        cap = int(np.ceil(chunks.shape[1] / n_model * capacity_factor))
+        d = table_shard.shape[-1]
+
+        # phase A: every chunk's id exchange, issued back to back
+        sends, states, recvs = [], [], []
+        for c in range(k):
+            send, st = bucket(chunks[c], cap)
+            sends.append(send)
+            states.append(st)
+        for c in range(k):
+            recvs.append(jax.lax.all_to_all(
+                sends[c], MODEL_AXIS, split_axis=0, concat_axis=0,
+                tiled=False,
+            ))
+        # phase B: local gather + return exchange, chunk by chunk — chunk
+        # c's return a2a is independent of chunk c+1's gather
+        outs = []
+        for c in range(k):
+            emb = serve(table_shard, recvs[c])
+            back = jax.lax.all_to_all(
+                emb.reshape(n_model, cap, d), MODEL_AXIS,
+                split_axis=0, concat_axis=0, tiled=False,
+            )
+            outs.append(unbucket(back, states[c], cap, d))
+        out = jnp.concatenate(outs, axis=0)[:n]
+        return out.reshape(*shape, d)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return fn(table, rows.astype(jnp.int32))
+
+
 def shard_table_cols(table: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Column-shard a (V, D) table over the model axis (D split)."""
     return jax.device_put(table, NamedSharding(mesh, P(None, MODEL_AXIS)))

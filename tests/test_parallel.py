@@ -197,3 +197,43 @@ def test_sharded_gather_a2a_dedup(mesh_4x2):
     got = sharded_gather_a2a(t, rows, mesh_4x2, capacity_factor=2.0,
                              dedup=True)
     np.testing.assert_allclose(got, jnp.take(table, rows, axis=0), rtol=1e-6)
+
+
+def test_sharded_gather_a2a_pipelined_matches_take(mesh_4x2):
+    from recsys_tpu.parallel.embedding_sharding import (
+        sharded_gather_a2a_pipelined,
+    )
+
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.normal(size=(64, 16)), jnp.float32)
+    rows = jnp.asarray(rng.integers(0, 64, (8, 6)), jnp.int32)
+    t = shard_table(table, mesh_4x2)
+    for chunks in (1, 2, 3, 4):
+        got = sharded_gather_a2a_pipelined(
+            t, rows, mesh_4x2, num_chunks=chunks, capacity_factor=2.0
+        )
+        np.testing.assert_allclose(
+            got, jnp.take(table, rows, axis=0), rtol=1e-6,
+            err_msg=f"num_chunks={chunks}",
+        )
+
+
+def test_sharded_gather_a2a_pipelined_gradients(mesh_4x2):
+    """Backward through the pipelined exchange is the same scatter-add the
+    single-shot a2a produces."""
+    from recsys_tpu.parallel.embedding_sharding import (
+        sharded_gather_a2a,
+        sharded_gather_a2a_pipelined,
+    )
+
+    rng = np.random.default_rng(12)
+    table = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+    rows = jnp.asarray(rng.integers(0, 64, (8, 4)), jnp.int32)
+    t = shard_table(table, mesh_4x2)
+
+    g1 = jax.grad(lambda tab: jnp.sum(
+        sharded_gather_a2a(tab, rows, mesh_4x2) ** 2))(t)
+    g2 = jax.grad(lambda tab: jnp.sum(
+        sharded_gather_a2a_pipelined(tab, rows, mesh_4x2, num_chunks=2) ** 2
+    ))(t)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
