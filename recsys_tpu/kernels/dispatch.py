@@ -38,12 +38,12 @@ def _opt_in(name: str, default: str = "0") -> bool:
     return os.environ.get(name, default) not in ("0", "false", "")
 
 
-# Flash switches in where the materialised (Sq, Sk) score matrix becomes a
-# memory problem.  Measured full-training ratios vs XLA's fused softmax on
-# this v5e (fwd+bwd, B*H=8, D=64): S=256 0.55x, S=512 0.66x, S=1024 0.71x —
-# XLA wins on speed while everything fits, so the kernel is the
-# long-context enabler, not a short-sequence speedup.
-_FLASH_MIN_SCORES = 2048 * 2048
+# Flash switches in where it starts beating XLA's fused softmax.  With the
+# retuned 512x512 tiles (measured v5e, B*H=512, D=64, causal fwd+bwd):
+# S=256 XLA ahead (5.2 vs 6.2 ms), S=512 flash ahead (13.0 vs 10.2 ms),
+# S=1024 flash 1.6x (44.4 vs 27.7 ms); S>=2048 XLA OOMs on the
+# materialised scores and flash is the only path.
+_FLASH_MIN_SCORES = 512 * 512
 
 
 def _pallas_interactions() -> bool:

@@ -11,6 +11,11 @@ scaling path SURVEY.md §5 calls for.
 Supports a key-padding mask (B, S_k) and optional causal masking.
 Grid: (batch*heads, q_blocks, k_blocks); k is the innermost (fastest)
 dimension, so the VMEM accumulator scratch carries across the k sweep.
+
+Default tile 512x512 (measured on v5e, B*H=512, D=64, causal fwd+bwd vs
+XLA's fused softmax: S=512 10.2 vs 13.0 ms, S=1024 27.7 vs 44.4 ms; the
+original 128x128 tiles LOST to XLA at those sizes — 60.7 vs 43.1 ms at
+S=1024 — too many grid steps per useful matmul).
 """
 from __future__ import annotations
 
@@ -118,8 +123,8 @@ def flash_attention(
     mask: jnp.ndarray | None = None,
     *,
     causal: bool = False,
-    blk_q: int = 128,
-    blk_k: int = 128,
+    blk_q: int = 512,
+    blk_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q (B, H, Sq, D), k/v (B, H, Sk, D), mask (B, Sk) key-padding
@@ -154,7 +159,7 @@ def _params(interpret, semantics):
     jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret")
 )
 def flash_attention_fwd(
-    q, k, v, mask=None, *, causal=False, blk_q=128, blk_k=128,
+    q, k, v, mask=None, *, causal=False, blk_q=512, blk_k=512,
     interpret=False,
 ):
     """Forward pass returning (out, lse) — lse (B, H, Sq) feeds the
@@ -337,7 +342,7 @@ def _flash_bwd_dkv_kernel(
     jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret")
 )
 def flash_attention_bwd(
-    q, k, v, mask, out, lse, do, *, causal=False, blk_q=128, blk_k=128,
+    q, k, v, mask, out, lse, do, *, causal=False, blk_q=512, blk_k=512,
     interpret=False,
 ):
     """Backward pass: returns (dq, dk, dv) given forward residuals."""
