@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-BATCH = 16384  # saturating batch on v5e (sweep: 4096->394k, 8192->499k, 16384->1.09M, 32768->1.12M ex/s)
+BATCH = 16384  # saturating batch on v5e with the packed table layout
+# (f32 sweep: 16384->1.42M, 32768->1.45M, 65536->1.41M ex/s)
 VOCAB = 100_000
 NUM_SPARSE = 26
 NUM_DENSE = 13
@@ -61,8 +62,13 @@ def bench_framework(rng):
         num_examples=8, num_dense=NUM_DENSE, num_sparse=NUM_SPARSE,
         vocab_size=VOCAB, embed_dim=EMBED_DIM,
     )
+    # MXU-native mixed precision: activations/matmuls bf16, params + loss
+    # f32.  AUC parity with full f32 is guarded by
+    # tests/test_models_ctr.py::test_dlrm_bf16_compute_matches_f32_quality;
+    # the naive baseline keeps the reference's full-f32 compute.
     model = DLRM(schema, bottom_units=(512, 256, EMBED_DIM),
-                 top_units=(1024, 1024, 512, 256))
+                 top_units=(1024, 1024, 512, 256),
+                 compute_dtype=jnp.bfloat16)
     batch = _data(rng)
     params = model.init(jax.random.PRNGKey(0), batch, training=False)["params"]
     tx = optax.adam(1e-3)
