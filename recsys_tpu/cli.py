@@ -25,7 +25,7 @@ import sys
 import numpy as np
 
 
-def _ctr_model(name, schema):
+def _ctr_model(name, schema, **kw):
     from recsys_tpu.models.ctr.autoint import AutoInt
     from recsys_tpu.models.ctr.dcn import DCN
     from recsys_tpu.models.ctr.deep_crossing import DeepCrossing
@@ -43,7 +43,7 @@ def _ctr_model(name, schema):
         "dlrm": DLRM,
         "autoint": AutoInt,
     }
-    return zoo[name](schema)
+    return zoo[name](schema, **kw)
 
 
 def run_ctr(args):
@@ -66,7 +66,20 @@ def run_ctr(args):
         train = {k: v[:cut] for k, v in data.items()}
         test = {k: v[cut:] for k, v in data.items()}
 
-    tr = Trainer(_ctr_model(args.model, schema), learning_rate=args.lr)
+    kw = {}
+    if args.embedding_optimizer:
+        kw["sparse_embed_grads"] = True
+    if args.bf16:
+        if args.model != "dlrm":
+            raise SystemExit("--bf16 compute is wired for --model dlrm")
+        import jax.numpy as jnp
+
+        kw["compute_dtype"] = jnp.bfloat16
+    tr = Trainer(
+        _ctr_model(args.model, schema, **kw),
+        learning_rate=args.lr,
+        embedding_optimizer=args.embedding_optimizer or None,
+    )
     tr.fit(
         train,
         batch_size=args.batch_size,
@@ -411,6 +424,11 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--maxlen", type=int, default=50)
     p.add_argument("--sample-num", type=int, default=0)
+    p.add_argument("--embedding-optimizer", default="",
+                   choices=["", "lazy_adam", "rowwise_adagrad"],
+                   help="touched-rows-only table updates (ctr task)")
+    p.add_argument("--bf16", action="store_true",
+                   help="MXU-native bf16 compute (DLRM)")
     p.add_argument("--retrieval-loss", choices=["softmax", "bce"],
                    default="softmax")
     p.add_argument("--sasrec-prefix", action="store_true",

@@ -34,6 +34,33 @@ def make_mesh(
     return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multihost_mesh(model: int = 1) -> Mesh:
+    """(data, model) mesh for multi-host pods: DCN-aware axis order.
+
+    The `model` axis (embedding-table row sharding: the all-to-all /
+    psum-heavy traffic) is laid out INSIDE a host so its collectives ride
+    ICI; the `data` axis factors as hosts x remaining-local-devices, so the
+    gradient all-reduce crosses DCN only on its host-level component — the
+    scaling-book recipe for hybrid DCN/ICI meshes.  Single-process falls
+    back to :func:`make_mesh` (used by the virtual-device tests; real
+    multi-host requires jax.distributed.initialize()).
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return make_mesh(model=model)
+    from jax.experimental import mesh_utils
+
+    n_local = jax.local_device_count()
+    if n_local % model:
+        raise ValueError(
+            f"model axis {model} must divide local device count {n_local}"
+        )
+    devs = mesh_utils.create_hybrid_device_mesh(
+        [n_local // model, model], [n_proc, 1]
+    )
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

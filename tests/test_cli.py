@@ -24,3 +24,13 @@ def test_multitask_task_runs(capsys):
     cli.main(["multitask", "--model", "esmm", "--epochs", "1"])
     out = capsys.readouterr().out
     assert "ctr AUC:" in out and "ctcvr AUC:" in out
+
+
+def test_cli_ctr_sparse_optimizer_and_bf16(capsys):
+    from recsys_tpu import cli
+
+    cli.main([
+        "ctr", "--model", "dlrm", "--epochs", "2",
+        "--embedding-optimizer", "rowwise_adagrad", "--bf16",
+    ])
+    assert "test AUC" in capsys.readouterr().out

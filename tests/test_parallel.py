@@ -237,3 +237,10 @@ def test_sharded_gather_a2a_pipelined_gradients(mesh_4x2):
         sharded_gather_a2a_pipelined(tab, rows, mesh_4x2, num_chunks=2) ** 2
     ))(t)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
+
+
+def test_make_multihost_mesh_single_process_fallback():
+    from recsys_tpu.parallel.mesh import make_multihost_mesh
+
+    mesh = make_multihost_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
