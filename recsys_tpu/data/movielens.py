@@ -157,6 +157,16 @@ def build_sasrec_dataset(
         from recsys_tpu.data import native
 
         if native.available():
+            import logging
+
+            # the C++ path draws negatives from a different (still seeded)
+            # stream than numpy's: metrics are deterministic per path but
+            # not comparable ACROSS machines with/without the built .so —
+            # say so instead of silently switching
+            logging.getLogger(__name__).info(
+                "build_sasrec_dataset: using the native C++ builder "
+                "(PCG32 negative-sample stream)"
+            )
             items = df["iid"].to_numpy(np.int32)
             # CSR offsets over the user-sorted stream
             _, starts = np.unique(df["user_id"].to_numpy(), return_index=True)

@@ -20,25 +20,47 @@ _DONE = object()
 def prefetch(gen: Iterable, depth: int = 2) -> Iterator:
     """Run ``gen`` in a daemon thread, buffering up to ``depth`` items.
 
-    Exceptions in the generator are re-raised at the consuming site.
+    Exceptions in the generator are re-raised at the consuming site.  If
+    the consumer abandons iteration (an exception escapes the for-loop, or
+    the iterator is closed), the worker is signalled to stop so it doesn't
+    sit blocked on a full queue pinning buffered batches for the process
+    lifetime.
     """
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 - reraised on main thread
-            q.put(e)
+            if not stop.is_set():
+                q.put(e)
             return
         q.put(_DONE)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _DONE:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a worker mid-put can finish promptly
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -135,13 +135,33 @@ class StackedEmbedding(nn.Module):
         self, field_name: str, ids: jnp.ndarray, mask: jnp.ndarray,
         *, mode: str = "mean",
     ) -> jnp.ndarray:
-        """Masked-pooled embedding of a padded (B, L) id sequence."""
+        """Masked-pooled embedding of a padded (B, L) id sequence.
+
+        Unpacked tables route through the dispatch layer (which picks the
+        fused Pallas pooled-gather at lane-aligned widths); packed tables
+        use the packed gather + pool (the sub-slot select has no fused
+        kernel yet).
+        """
+        g = self._group_of[field_name]
+        if self._packs[g] == 1 and ids.ndim == 2:
+            from recsys_tpu.kernels import dispatch
+
+            rows = ids.astype(jnp.int32) + self._offset_in[field_name]
+            return dispatch.segment_sum_gather(
+                self.tables[g], rows, mask, mode=mode
+            )
         return embedding_kernels.pool(
             self.lookup(field_name, ids), mask, mode=mode
         )
 
     def table_for(self, field_name: str) -> jnp.ndarray:
-        """The raw (packed) group table holding `field_name`."""
+        """The raw PHYSICAL (row-packed) group table holding `field_name`.
+
+        Do NOT index this with logical ids (+field_offset) — that was the
+        pre-packing pattern and now reads the wrong rows.  Use ``lookup`` /
+        ``pooled_lookup`` for embeddings or ``table_logical`` for a (V, D)
+        view; ``pack(field_name)`` gives the rows-per-physical-row factor.
+        """
         return self.tables[self._group_of[field_name]]
 
     def table_logical(self, field_name: str) -> jnp.ndarray:

@@ -111,6 +111,52 @@ def sharded_gather_dedup(
     return fn(table, rows.astype(jnp.int32))
 
 
+
+# -- a2a building blocks (shared by the single-shot and pipelined engines) --
+
+def _a2a_bucket(ids, v_local, n_model, cap):
+    """Owner-bucket one chunk's ids -> (send (S, C), undo state).
+
+    Slot 0 of each bucket means "no id" (ids are shifted +1); ids past an
+    owner's capacity are dropped by the mode='drop' scatter and later
+    produce zero vectors via the overflow mask."""
+    n = ids.shape[0]
+    owner = ids // v_local
+    order = jnp.argsort(owner, stable=True)
+    sorted_ids = ids[order]
+    sorted_owner = owner[order]
+    counts = jnp.bincount(owner, length=n_model)
+    group_start = jnp.cumsum(counts) - counts
+    pos_in_group = jnp.arange(n) - group_start[sorted_owner]
+    send = jnp.zeros((n_model, cap), jnp.int32)
+    send = send.at[sorted_owner, pos_in_group].set(sorted_ids + 1, mode="drop")
+    return send, (order, sorted_owner, pos_in_group)
+
+
+def _a2a_serve(table_shard, recv):
+    """Gather this shard's rows for the received (S, C) requests."""
+    v_local = table_shard.shape[0]
+    got = recv.reshape(-1)
+    valid = got > 0
+    local = jnp.where(valid, got - 1, 0) - jax.lax.axis_index(
+        MODEL_AXIS
+    ) * v_local
+    local = jnp.clip(local, 0, v_local - 1)
+    emb = jnp.take(table_shard, local, axis=0)
+    return emb * valid[:, None].astype(emb.dtype)
+
+
+def _a2a_unbucket(back, state, n_model, cap, d):
+    """Undo the owner sort; zero overflowed (dropped) slots."""
+    order, sorted_owner, pos_in_group = state
+    flat = back.reshape(n_model * cap, d)
+    slot = sorted_owner * cap + pos_in_group
+    overflow = pos_in_group >= cap
+    gathered = jnp.take(flat, jnp.clip(slot, 0, n_model * cap - 1), axis=0)
+    gathered = gathered * (~overflow)[:, None].astype(gathered.dtype)
+    return jnp.zeros_like(gathered).at[order].set(gathered)
+
+
 def sharded_gather_a2a(
     table: jnp.ndarray,
     rows: jnp.ndarray,
@@ -144,47 +190,21 @@ def sharded_gather_a2a(
             ids, inverse = unique_with_counts_static(ids)
         n = ids.shape[0]
         v_local = table_shard.shape[0]
+        d = table_shard.shape[-1]
         cap = int(np.ceil(n / n_model * capacity_factor))
 
-        owner = ids // v_local  # (N,)
-        order = jnp.argsort(owner, stable=True)
-        sorted_ids = ids[order]
-        sorted_owner = owner[order]
-        counts = jnp.bincount(owner, length=n_model)
-        group_start = jnp.cumsum(counts) - counts
-        pos_in_group = jnp.arange(n) - group_start[sorted_owner]
-
-        # bucket IDs: (S, C); +1 shift so empty slots hold 0 ("no id")
-        send = jnp.zeros((n_model, cap), jnp.int32)
-        send = send.at[sorted_owner, pos_in_group].set(
-            sorted_ids + 1, mode="drop"
-        )
+        send, state = _a2a_bucket(ids, v_local, n_model, cap)
         # exchange: shard s receives every shard's bucket destined for it
         recv = jax.lax.all_to_all(
             send, MODEL_AXIS, split_axis=0, concat_axis=0, tiled=False
         )  # (S, C) on each shard: rows requested from THIS shard
-        got = recv.reshape(-1)  # (S*C,)
-        valid = got > 0
-        local = jnp.where(valid, got - 1, 0) - jax.lax.axis_index(
-            MODEL_AXIS
-        ) * v_local
-        local = jnp.clip(local, 0, v_local - 1)
-        emb = jnp.take(table_shard, local, axis=0)
-        emb = emb * valid[:, None].astype(emb.dtype)
+        emb = _a2a_serve(table_shard, recv)
         # return the vectors to the requesting shards
         back = jax.lax.all_to_all(
             emb.reshape(n_model, cap, -1), MODEL_AXIS,
             split_axis=0, concat_axis=0, tiled=False,
         )  # (S, C, D): bucket s holds vectors for MY requests to shard s
-        d = back.shape[-1]
-        flat = back.reshape(n_model * cap, d)
-        slot = sorted_owner * cap + pos_in_group
-        overflow = pos_in_group >= cap
-        gathered = jnp.take(flat, jnp.clip(slot, 0, n_model * cap - 1),
-                            axis=0)
-        gathered = gathered * (~overflow)[:, None].astype(gathered.dtype)
-        # undo the owner sort
-        out = jnp.zeros_like(gathered).at[order].set(gathered)
+        out = _a2a_unbucket(back, state, n_model, cap, d)
         if dedup:
             out = jnp.take(out, inverse, axis=0)
         return out.reshape(*shape, d)
@@ -219,46 +239,6 @@ def sharded_gather_a2a_pipelined(
     """
     n_model = mesh.shape[MODEL_AXIS]
 
-    def bucket(ids, cap):
-        """Owner-bucket one chunk's ids -> (send (S,C), undo state)."""
-        n = ids.shape[0]
-        v_local = table.shape[0] // n_model
-        owner = ids // v_local
-        order = jnp.argsort(owner, stable=True)
-        sorted_ids = ids[order]
-        sorted_owner = owner[order]
-        counts = jnp.bincount(owner, length=n_model)
-        group_start = jnp.cumsum(counts) - counts
-        pos_in_group = jnp.arange(n) - group_start[sorted_owner]
-        send = jnp.zeros((n_model, cap), jnp.int32)
-        send = send.at[sorted_owner, pos_in_group].set(
-            sorted_ids + 1, mode="drop"
-        )
-        return send, (order, sorted_owner, pos_in_group)
-
-    def serve(table_shard, recv):
-        """Gather this shard's rows for one chunk's received requests."""
-        v_local = table_shard.shape[0]
-        got = recv.reshape(-1)
-        valid = got > 0
-        local = jnp.where(valid, got - 1, 0) - jax.lax.axis_index(
-            MODEL_AXIS
-        ) * v_local
-        local = jnp.clip(local, 0, v_local - 1)
-        emb = jnp.take(table_shard, local, axis=0)
-        return emb * valid[:, None].astype(emb.dtype)
-
-    def unbucket(back, state, cap, d):
-        order, sorted_owner, pos_in_group = state
-        flat = back.reshape(n_model * cap, d)
-        slot = sorted_owner * cap + pos_in_group
-        overflow = pos_in_group >= cap
-        gathered = jnp.take(
-            flat, jnp.clip(slot, 0, n_model * cap - 1), axis=0
-        )
-        gathered = gathered * (~overflow)[:, None].astype(gathered.dtype)
-        return jnp.zeros_like(gathered).at[order].set(gathered)
-
     def local_fn(table_shard, rows_local):
         shape = rows_local.shape
         flat = rows_local.reshape(-1)
@@ -270,10 +250,11 @@ def sharded_gather_a2a_pipelined(
         cap = int(np.ceil(chunks.shape[1] / n_model * capacity_factor))
         d = table_shard.shape[-1]
 
+        v_local = table_shard.shape[0]
         # phase A: every chunk's id exchange, issued back to back
         sends, states, recvs = [], [], []
         for c in range(k):
-            send, st = bucket(chunks[c], cap)
+            send, st = _a2a_bucket(chunks[c], v_local, n_model, cap)
             sends.append(send)
             states.append(st)
         for c in range(k):
@@ -285,12 +266,12 @@ def sharded_gather_a2a_pipelined(
         # c's return a2a is independent of chunk c+1's gather
         outs = []
         for c in range(k):
-            emb = serve(table_shard, recvs[c])
+            emb = _a2a_serve(table_shard, recvs[c])
             back = jax.lax.all_to_all(
                 emb.reshape(n_model, cap, d), MODEL_AXIS,
                 split_axis=0, concat_axis=0, tiled=False,
             )
-            outs.append(unbucket(back, states[c], cap, d))
+            outs.append(_a2a_unbucket(back, states[c], n_model, cap, d))
         out = jnp.concatenate(outs, axis=0)[:n]
         return out.reshape(*shape, d)
 

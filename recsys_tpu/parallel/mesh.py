@@ -55,8 +55,11 @@ def make_multihost_mesh(model: int = 1) -> Mesh:
         raise ValueError(
             f"model axis {model} must divide local device count {n_local}"
         )
+    # process_is_granule: the DCN factor counts HOSTS.  The default
+    # (slice granules) breaks on single-slice multi-host pods, where all
+    # processes share slice_index 0.
     devs = mesh_utils.create_hybrid_device_mesh(
-        [n_local // model, model], [n_proc, 1]
+        [n_local // model, model], [n_proc, 1], process_is_granule=True
     )
     return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
 

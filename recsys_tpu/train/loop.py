@@ -375,32 +375,28 @@ class Trainer:
 
         for epoch in range(epochs):
             t0 = time.time()
-            # Keep the step loop free of device syncs: losses accumulate as
-            # device scalars (async dispatch runs ahead; JAX's inflight
-            # throttle bounds the queue) and are fetched ONCE per epoch.
-            # Fetching float(loss) per step costs a host<->device round trip
-            # per step — measured 94.8 ms/step vs 11.2 ms raw on the DLRM
-            # bench (tunnelled v5e).  Host batch assembly overlaps the same
-            # way via the prefetch thread.
-            losses, count = [], 0
-            # host assembly prefetches in a thread; the device transfer
+            # Keep the step loop free of device syncs: the loss accumulates
+            # into ONE device scalar (a cached-compile add per step; async
+            # dispatch runs ahead, JAX's inflight throttle bounds the queue)
+            # fetched once per epoch.  Fetching float(loss) per step costs a
+            # host<->device round trip per step — measured 94.8 ms/step vs
+            # 11.2 ms raw on the DLRM bench (tunnelled v5e).  Host batch
+            # assembly overlaps via the prefetch thread; the device transfer
             # stays on the main thread (a worker-thread device_put measured
-            # SLOWER here — PJRT client contention)
+            # SLOWER here — PJRT client contention).
+            total, count = None, 0
             for batch in prefetch(
                 self._batches(train_data, batch_size, True, True)
             ):
                 self.rng, step_rng = jax.random.split(self.rng)
                 db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
                 self.state, loss = self._train_step(self.state, db, step_rng)
-                losses.append(loss)
+                total = loss if total is None else total + loss
                 count += 1
                 if log_every and count % log_every == 0 and verbose:
                     # explicit sync point, only when step logging is on
-                    running = float(jnp.mean(jnp.stack(losses)))
-                    print(f"  step {count}: loss={running:.5f}")
-            train_loss = (
-                float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-            )
+                    print(f"  step {count}: loss={float(total) / count:.5f}")
+            train_loss = float(total) / count if count else 0.0
             history["loss"].append(train_loss)
 
             msg = f"epoch {epoch + 1}/{epochs} loss={train_loss:.5f}"

@@ -13,9 +13,11 @@ only the rows a batch touches; this module is that path, TPU-style:
      per-occurrence cotangent (B, F, D) — 27 MB instead of a 166 MB dense
      table cotangent — while the tables themselves are closed over
      (not differentiated).
-  2. Per table group: ids are deduplicated with a static-shape
-     ``jnp.unique`` and the cotangent is ``segment_sum``-combined per unique
-     row (exact, duplicates summed like dense scatter-add would).
+  2. Per table group: ids are deduplicated SORT-FREE (scatter-min of
+     occurrence positions + compact scatter-add; see ``_dedup``) and the
+     cotangent is summed per unique physical row (exact, duplicates summed
+     like dense scatter-add would), with a per-sub-slot touched mask so the
+     packed layout keeps strict touched-VOCAB-row semantics.
   3. The optimizer reads/writes ONLY the touched rows, with ``mode='drop'``
      scatters so the unique-padding slots fall away.
 
@@ -162,11 +164,14 @@ def merge_params(rest: dict, tables: dict, plan: EmbedPlan) -> dict:
 
 
 def group_rows_and_cots(plan: EmbedPlan, sparse_ids: jnp.ndarray, pert_grad):
-    """Per group: (rows (B*Fg,), cot (B*Fg, row_width)) from ids + the
-    (B, F, D) tap — in PHYSICAL table coordinates: with a packed layout
-    (plan.pack > 1) the vocab row becomes its physical row and the
-    cotangent is spread to the row's sub-slot (one-hot multiply, the same
-    transform autodiff applies on the forward's packed gather)."""
+    """Per group: (rows (B*Fg,), cot (B*Fg, row_width), slot1h (B*Fg, p))
+    from ids + the (B, F, D) tap — in PHYSICAL table coordinates: with a
+    packed layout (plan.packs[g] > 1) the vocab row becomes its physical
+    row and the cotangent is spread to the row's sub-slot (one-hot
+    multiply, the same transform autodiff applies on the forward's packed
+    gather).  slot1h marks which sub-slot each occurrence touches so the
+    optimizers can keep strict touched-VOCAB-row semantics (sibling rows
+    sharing a physical row stay untouched)."""
     out = []
     for cols, offsets, p in zip(
         plan.group_cols, plan.group_offsets, plan.packs
@@ -182,7 +187,9 @@ def group_rows_and_cots(plan: EmbedPlan, sparse_ids: jnp.ndarray, pert_grad):
             rows = rows // p
             onehot = jax.nn.one_hot(sub, p, dtype=cot.dtype)  # (n, p)
             cot = (cot[:, None, :] * onehot[:, :, None]).reshape(-1, p * d)
-        out.append((rows, cot))
+        else:
+            onehot = jnp.ones((rows.shape[0], 1), cot.dtype)
+        out.append((rows, cot, onehot))
     return out
 
 
@@ -231,12 +238,28 @@ def _dedup(rows: jnp.ndarray, cot: jnp.ndarray, vocab: int):
     return uids, grad
 
 
+def _dedup_with_mask(rows, cot, slot1h, vocab, pack, d):
+    """Dedup cot AND the slot one-hot in one pass; returns (uids, g,
+    touched) with touched (n, pack*d) True exactly at the columns of vocab
+    rows some occurrence touched."""
+    n = rows.shape[0]
+    payload = jnp.concatenate([cot, slot1h], axis=1)
+    uids, g_all = _dedup(rows, payload, vocab)
+    g = g_all[:, : pack * d]
+    touched = jnp.repeat(g_all[:, pack * d:] > 0, d, axis=1)  # (n, pack*d)
+    touched = touched & (uids < vocab)[:, None]
+    return uids, g, touched
+
+
 def lazy_adam_update(
-    table, m, v, rows, cot, *, lr, step, b1=0.9, b2=0.999, eps=1e-8,
-    weight_decay=0.0,
+    table, m, v, rows, cot, slot1h, *, lr, step, pack=1, b1=0.9, b2=0.999,
+    eps=1e-8, weight_decay=0.0,
 ):
-    """Adam at touched rows only; bias correction uses the global step
-    (TF LazyAdam semantics).  `step` is 1-based.
+    """Adam at touched VOCAB rows only; bias correction uses the global
+    step (TF LazyAdam semantics).  `step` is 1-based.  With the packed
+    physical layout, decay / weight decay / updates are masked to the
+    touched sub-slots, so sibling vocab rows sharing a physical row keep
+    strict lazy (untouched) semantics.
 
     Structured as pure read-modify-write scatter chains (scatter-mul then
     scatter-add, with gathers only AFTER a buffer's final write): a
@@ -246,47 +269,45 @@ def lazy_adam_update(
     sequential RMW chain aliases in place.
     """
     vocab = table.shape[0]
-    uids, g = _dedup(rows, cot, vocab)
+    d = table.shape[1] // pack
+    uids, g, touched = _dedup_with_mask(rows, cot, slot1h, vocab, pack, d)
     safe = jnp.minimum(uids, vocab - 1)
-    m = m.at[uids].mul(b1, mode="drop")
+    m = m.at[uids].mul(jnp.where(touched, b1, 1.0), mode="drop")
     m = m.at[uids].add((1.0 - b1) * g, mode="drop")
-    v = v.at[uids].mul(b2, mode="drop")
+    v = v.at[uids].mul(jnp.where(touched, b2, 1.0), mode="drop")
     v = v.at[uids].add((1.0 - b2) * (g * g), mode="drop")
     t = step.astype(table.dtype)
     m_hat = m[safe] / (1.0 - b1**t)
     v_hat = v[safe] / (1.0 - b2**t)
     upd = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
-    # zero the update at non-first-occurrence slots: their clipped `safe`
-    # index reads a foreign row's (already updated) moments
-    upd = jnp.where((uids < vocab)[:, None], upd, 0.0)
+    # mask: non-first-occurrence slots read a foreign row's moments, and
+    # untouched sub-slots must not move
+    upd = jnp.where(touched, upd, 0.0)
     if weight_decay:
-        upd = upd - lr * weight_decay * jnp.where(
-            (uids < vocab)[:, None], table[safe], 0.0
-        )
+        upd = upd - lr * weight_decay * jnp.where(touched, table[safe], 0.0)
     return table.at[uids].add(upd, mode="drop"), m, v
 
 
 def rowwise_adagrad_update(
-    table, acc, rows, cot, *, lr, pack=1, eps=1e-8, weight_decay=0.0
+    table, acc, rows, cot, slot1h, *, lr, pack=1, eps=1e-8, weight_decay=0.0
 ):
     """DLRM-style rowwise AdaGrad: one accumulator per VOCAB row, fed by the
     mean squared row gradient.  With a packed physical layout the
-    accumulator is (V_phys, pack) — still per vocab row.  Same RMW-chain
-    structure as lazy_adam_update."""
+    accumulator is (V_phys, pack) — still per vocab row; updates and weight
+    decay are masked to touched sub-slots.  Same RMW-chain structure as
+    lazy_adam_update."""
     vocab = table.shape[0]
     n = rows.shape[0]
     d = table.shape[1] // pack
-    uids, g = _dedup(rows, cot, vocab)
+    uids, g, touched = _dedup_with_mask(rows, cot, slot1h, vocab, pack, d)
     g_slots = g.reshape(n, pack, d)
     acc = acc.at[uids].add(jnp.mean(g_slots * g_slots, axis=-1), mode="drop")
     safe = jnp.minimum(uids, vocab - 1)
     denom = jnp.sqrt(acc[safe])[:, :, None] + eps  # (n, pack, 1)
     upd = (-lr * g_slots / denom).reshape(n, pack * d)
-    upd = jnp.where((uids < vocab)[:, None], upd, 0.0)
+    upd = jnp.where(touched, upd, 0.0)
     if weight_decay:
-        upd = upd - lr * weight_decay * jnp.where(
-            (uids < vocab)[:, None], table[safe], 0.0
-        )
+        upd = upd - lr * weight_decay * jnp.where(touched, table[safe], 0.0)
     return table.at[uids].add(upd, mode="drop"), acc
 
 
@@ -306,17 +327,19 @@ def apply_updates(
     per_group = group_rows_and_cots(plan, sparse_ids, pert_grad)
     new_tables: dict[str, Any] = {}
     new_state: dict[str, Any] = {}
-    for name, (rows, cot), pk in zip(plan.table_names, per_group, plan.packs):
+    for name, (rows, cot, slot1h), pk in zip(
+        plan.table_names, per_group, plan.packs
+    ):
         t = tables[name]
         if kind == "lazy_adam":
             nt, m, v = lazy_adam_update(
-                t, state[name]["m"], state[name]["v"], rows, cot,
-                lr=lr, step=step, weight_decay=weight_decay,
+                t, state[name]["m"], state[name]["v"], rows, cot, slot1h,
+                lr=lr, step=step, pack=pk, weight_decay=weight_decay,
             )
             new_tables[name], new_state[name] = nt, {"m": m, "v": v}
         elif kind == "rowwise_adagrad":
             nt, acc = rowwise_adagrad_update(
-                t, state[name]["acc"], rows, cot,
+                t, state[name]["acc"], rows, cot, slot1h,
                 lr=lr, pack=pk, weight_decay=weight_decay,
             )
             new_tables[name], new_state[name] = nt, {"acc": acc}

@@ -158,9 +158,10 @@ def test_rowwise_adagrad_matches_numpy_reference():
     cot = rng.normal(size=(4, p * d)).astype(np.float32)
     acc = np.abs(rng.normal(size=(v // p, p)).astype(np.float32))
     lr = 0.1
+    # full physical rows touched -> slot one-hot marks both slots
     nt, nacc = sparse_embed.rowwise_adagrad_update(
         jnp.asarray(table), jnp.asarray(acc), jnp.asarray(rows),
-        jnp.asarray(cot), lr=lr, pack=p,
+        jnp.asarray(cot), jnp.ones((4, p), np.float32), lr=lr, pack=p,
     )
     # numpy reference
     et, ea = table.copy(), acc.copy()
@@ -198,3 +199,35 @@ def test_sparse_optimizer_on_mesh():
     p1 = tr.predict({k: v for k, v in data.items() if k != "label"})
     p2 = tr2.predict({k: v for k, v in data.items() if k != "label"})
     np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+
+def test_lazy_adam_packed_siblings_stay_untouched():
+    """Vocab rows that share a physical row with a touched row must keep
+    their params AND moments unchanged (strict lazy semantics), even with
+    weight decay on."""
+    p, d, vphys = 4, 2, 3  # 12 vocab rows packed into 3 physical rows
+    vocab_rows = vphys * p
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(vphys, p * d)).astype(np.float32))
+    m = jnp.asarray(rng.normal(size=(vphys, p * d)).astype(np.float32))
+    v = jnp.abs(jnp.asarray(rng.normal(size=(vphys, p * d)).astype(np.float32)))
+    # touch vocab rows 1 and 5 -> physical rows 0 (slot 1) and 1 (slot 1)
+    vrows = np.array([1, 5], np.int32)
+    prows = jnp.asarray(vrows // p)
+    slot1h = jnp.asarray(np.eye(p, dtype=np.float32)[vrows % p])
+    cot = jnp.zeros((2, p * d)).at[0, 1 * d:2 * d].set(1.0).at[
+        1, 1 * d:2 * d].set(2.0)
+    nt, nm, nv = sparse_embed.lazy_adam_update(
+        table, m, v, prows, cot, slot1h,
+        lr=0.1, step=jnp.asarray(3), pack=p, weight_decay=0.01,
+    )
+    tl = np.asarray(table).reshape(vocab_rows, d)
+    ntl = np.asarray(nt).reshape(vocab_rows, d)
+    ml, nml = np.asarray(m).reshape(-1, d), np.asarray(nm).reshape(-1, d)
+    for r in range(vocab_rows):
+        if r in (1, 5):
+            assert not np.allclose(ntl[r], tl[r]), f"row {r} should move"
+            assert not np.allclose(nml[r], ml[r])
+        else:
+            np.testing.assert_array_equal(ntl[r], tl[r])
+            np.testing.assert_array_equal(nml[r], ml[r])
