@@ -22,7 +22,9 @@ import numpy as np
 import optax
 
 BATCH = 16384  # saturating batch on v5e with the packed table layout
-# (f32 sweep: 16384->1.42M, 32768->1.45M, 65536->1.41M ex/s)
+# (bf16 framework sweep: 16384->1.53M @ 1.35x naive, 32768->1.59M but the
+# naive baseline amortises its scatters at 32768 too -> ratio 1.17; the
+# 16384 point is the better samples/s-AND-ratio operating point)
 VOCAB = 100_000
 NUM_SPARSE = 26
 NUM_DENSE = 13
