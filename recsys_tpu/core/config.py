@@ -39,6 +39,9 @@ class ExperimentConfig:
     mesh_model: int = 1
     checkpoint_path: str | None = None
     log_jsonl: str | None = None
+    # optimizer / precision extensions (no reference analogue)
+    embedding_optimizer: str | None = None  # lazy_adam | rowwise_adagrad
+    bf16_compute: bool = False
 
     def override(self, **kwargs) -> "ExperimentConfig":
         """New config with non-None kwargs applied."""
