@@ -79,6 +79,62 @@ def in_batch_sampled_softmax(
     )
 
 
+def log_uniform_candidates(rng, num_items: int, shape):
+    """Log-uniform (Zipfian) negative ids + their log sampling probability.
+
+    The distribution behind TF's LogUniformCandidateSampler (what
+    tf.nn.sampled_softmax_loss samples from when ids are sorted by
+    frequency): P(k) = log(1 + 1/(k+1)) / log(num_items + 1).  Returns
+    (ids int32, log_p float32) of the given shape.
+    """
+    u = jax.random.uniform(rng, shape)
+    ids = (jnp.exp(u * jnp.log(num_items + 1.0)) - 1.0).astype(jnp.int32)
+    ids = jnp.clip(ids, 0, num_items - 1)
+    log_p = jnp.log1p(1.0 / (ids + 1.0)) - jnp.log(num_items + 1.0)
+    return ids, log_p
+
+
+def sampled_softmax(
+    query_embs: jnp.ndarray,
+    pos_embs: jnp.ndarray,
+    neg_embs: jnp.ndarray,
+    pos_log_q: jnp.ndarray | None = None,
+    neg_log_q: jnp.ndarray | None = None,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Sampled softmax over explicit catalog negatives with logQ correction.
+
+    The faithful replacement for the reference's misused
+    tf.nn.sampled_softmax_loss (SURVEY.md §2.6.14): softmax CE over
+    [positive, S sampled negatives].  query/pos (B, D); neg (S, D) shared
+    across the batch or (B, S, D) per-example; ``*_log_q`` are the log
+    sampling probabilities (e.g. from :func:`log_uniform_candidates`) so
+    popular negatives are not over-penalised.  In-batch negatives
+    (:func:`in_batch_sampled_softmax`) remain the idiomatic TPU default.
+    """
+    pos_logit = jnp.sum(
+        query_embs * pos_embs, axis=-1, keepdims=True
+    ) / temperature  # (B, 1)
+    if neg_embs.ndim == 2:
+        neg_logits = jnp.einsum(
+            "bd,sd->bs", query_embs, neg_embs,
+            preferred_element_type=jnp.float32,
+        ) / temperature
+        if neg_log_q is not None:
+            neg_logits = neg_logits - neg_log_q[None, :]
+    else:
+        neg_logits = jnp.einsum(
+            "bd,bsd->bs", query_embs, neg_embs,
+            preferred_element_type=jnp.float32,
+        ) / temperature
+        if neg_log_q is not None:
+            neg_logits = neg_logits - neg_log_q
+    if pos_log_q is not None:
+        pos_logit = pos_logit - pos_log_q[:, None]
+    logits = jnp.concatenate([pos_logit, neg_logits], axis=1)
+    return jnp.mean(-jax.nn.log_softmax(logits, axis=-1)[:, 0])
+
+
 def multi_task_bce(outputs: dict, labels: dict, weights: dict | None = None,
                    on_probs: bool = False) -> jnp.ndarray:
     """Weighted sum of per-task BCE losses over matching dict keys."""

@@ -43,3 +43,54 @@ def test_streaming_accumulator_merges_batches():
     for s in range(0, 4000, 512):
         acc.update(scores[s : s + 512], labels[s : s + 512])
     assert abs(acc.result() - metrics.auc_exact(scores, labels)) < 3e-3
+
+
+def test_log_uniform_candidates_distribution_and_range():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recsys_tpu.train.losses import log_uniform_candidates
+
+    n = 1000
+    ids, logp = log_uniform_candidates(jax.random.PRNGKey(0), n, (50_000,))
+    ids = np.asarray(ids)
+    assert ids.min() >= 0 and ids.max() < n
+    # Zipfian: id 0 drawn far more often than id 500
+    c0 = (ids == 0).sum()
+    c500 = (ids == 500).sum()
+    assert c0 > 5 * max(c500, 1)
+    # log_p matches the closed form
+    np.testing.assert_allclose(
+        np.asarray(logp[:5]),
+        np.log1p(1.0 / (ids[:5] + 1.0)) - np.log(n + 1.0),
+        rtol=1e-6,
+    )
+
+
+def test_sampled_softmax_matches_manual_ce():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recsys_tpu.train.losses import sampled_softmax
+
+    rng = np.random.default_rng(0)
+    B, D, S = 6, 8, 5
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    neg = jnp.asarray(rng.normal(size=(S, D)).astype(np.float32))
+
+    got = float(sampled_softmax(q, pos, neg))
+    logits = np.concatenate(
+        [np.sum(np.asarray(q) * np.asarray(pos), -1, keepdims=True),
+         np.asarray(q) @ np.asarray(neg).T], axis=1)
+    lse = np.log(np.exp(logits - logits.max(1, keepdims=True)).sum(1)) \
+        + logits.max(1)
+    expect = float(np.mean(lse - logits[:, 0]))
+    assert abs(got - expect) < 1e-5
+
+    # per-example negatives + logQ shift run and stay finite
+    neg_b = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    lq = jnp.asarray(rng.normal(size=(B, S)).astype(np.float32))
+    assert np.isfinite(float(sampled_softmax(q, pos, neg_b, neg_log_q=lq)))
