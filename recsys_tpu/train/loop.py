@@ -463,9 +463,11 @@ class Trainer:
         early stopping."""
         if self._eval_step is None:
             self._build_steps()
+        from recsys_tpu.data.prefetch import prefetch
+
         n_total = _num_examples(data)
         parts, n = [], 0  # device scalars; ONE fetch at the end
-        for batch in self._batches(data, batch_size, False, True):
+        for batch in prefetch(self._batches(data, batch_size, False, True)):
             db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
             outputs = self._eval_step(self.state, db)
             parts.append(self.loss_fn(outputs, db) * batch_size)
@@ -484,8 +486,10 @@ class Trainer:
         """Forward pass over a dataset; returns stacked outputs (pytree)."""
         if self._eval_step is None:
             self._build_steps()
+        from recsys_tpu.data.prefetch import prefetch
+
         outs, valids = [], []
-        for batch in self._batches(data, batch_size, False, False):
+        for batch in prefetch(self._batches(data, batch_size, False, False)):
             valid = batch.pop("_valid", None)
             db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
             outs.append(jax.device_get(self._eval_step(self.state, db)))

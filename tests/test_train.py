@@ -107,3 +107,44 @@ def test_export_round_trip(tmp_path):
     # cosine top-1 of a vector is itself
     _, I = index.search(embs[:3], 1)
     np.testing.assert_array_equal(I[:, 0], [0, 1, 2])
+
+
+def test_checkpoint_resume_continues_training(tmp_path):
+    """Full TrainState (params + optimizer state + step) round-trips through
+    the checkpoint and a fresh Trainer resumes training from it — including
+    the sparse-embedding optimizer's moment buffers."""
+    import jax
+    import numpy as np
+
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.train import checkpoint
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=512, num_dense=4, num_sparse=4,
+                                 vocab_size=40, embed_dim=8, seed=2)
+
+    def make():
+        return Trainer(
+            DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+                 sparse_embed_grads=True),
+            embedding_optimizer="rowwise_adagrad", seed=4,
+        )
+
+    tr = make()
+    tr.fit(data, batch_size=128, epochs=2, verbose=False)
+    path = str(tmp_path / "state.msgpack")
+    checkpoint.save(path, tr.state)
+    step_before = int(tr.state.step)
+
+    tr2 = make()
+    tr2.init({k: v[:128] for k, v in data.items()})  # template structure
+    tr2.state = checkpoint.restore(path, tr2.state)
+    assert int(tr2.state.step) == step_before
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        tr.state.params, tr2.state.params)
+    h = tr2.fit(data, batch_size=128, epochs=2, verbose=False)
+    assert np.isfinite(h["loss"][-1])
+    assert int(tr2.state.step) > step_before
