@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from recsys_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from recsys_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, pad_to_multiple
 
 
 def shard_table(table: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
@@ -49,7 +49,6 @@ def sharded_gather(
     row ids.  Returns rows.shape + (D,), sharded over `data` on the leading
     axis when ``data_sharded_rows``.
     """
-    n_model = mesh.shape[MODEL_AXIS]
     rows_spec = P(DATA_AXIS) if data_sharded_rows else P()
 
     def local_lookup(table_shard, rows_local):
@@ -85,7 +84,6 @@ def sharded_gather_dedup(
     the same padded buffer, but the local gather + backward scatter-add
     touch each unique row once — the win the Pallas kernel exploits).
     """
-    n_model = mesh.shape[MODEL_AXIS]
 
     def local_fn(table_shard, rows_local):
         shape = rows_local.shape
@@ -244,7 +242,7 @@ def sharded_gather_a2a_pipelined(
         flat = rows_local.reshape(-1)
         n = flat.shape[0]
         k = max(1, min(num_chunks, n))
-        pad = (-n) % k
+        pad = pad_to_multiple(n, k) - n
         flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
         chunks = flat.reshape(k, -1)
         cap = int(np.ceil(chunks.shape[1] / n_model * capacity_factor))

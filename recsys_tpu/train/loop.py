@@ -60,11 +60,22 @@ class Trainer:
         params keep the regular optax path.  See train/sparse_embed.py."""
         self.model = model
         self.loss_fn = loss_fn
-        self.tx = optimizer or optax.adam(learning_rate)
+        # decoupled (AdamW-style) weight decay everywhere, matching the
+        # sparse embedding path's lazy decay: decay-before-Adam would be
+        # coupled L2 and a DIFFERENT regulariser for dense vs table params
         if weight_decay > 0.0:
-            self.tx = optax.chain(
-                optax.add_decayed_weights(weight_decay), self.tx
-            )
+            if optimizer is None:
+                self.tx = optax.adamw(
+                    learning_rate, weight_decay=weight_decay
+                )
+            else:
+                # post-scale decay: updates are already -lr-scaled here
+                self.tx = optax.chain(
+                    optimizer,
+                    optax.add_decayed_weights(-learning_rate * weight_decay),
+                )
+        else:
+            self.tx = optimizer or optax.adam(learning_rate)
         self.weight_decay = weight_decay
         if embedding_optimizer is not None:
             from recsys_tpu.train import sparse_embed
@@ -91,24 +102,35 @@ class Trainer:
     # -- state ------------------------------------------------------------
     def init(self, sample_batch: dict) -> TrainState:
         self.rng, init_rng, drop_rng = jax.random.split(self.rng, 3)
-        variables = self.model.init(
-            {"params": init_rng, "dropout": drop_rng},
-            _device_batch(sample_batch),
-            training=True,
-        )
+        rngs = {"params": init_rng, "dropout": drop_rng}
+        batch = _device_batch(sample_batch)
+        if self.mesh is None:
+            variables = self.model.init(rngs, batch, training=True)
+        else:
+            # Initialise DIRECTLY into the sharded layout (jit with
+            # out_shardings) — an eager init would materialise every table
+            # whole on one chip before resharding, which OOMs exactly the
+            # production-scale tables the model axis exists for.
+            import functools
+
+            from recsys_tpu.parallel.sharding_rules import param_shardings
+
+            init_fn = functools.partial(self.model.init, training=True)
+            abs_vars = jax.eval_shape(init_fn, rngs, batch)
+            rep = mesh_lib.replicated(self.mesh)
+            out_sh = {
+                k: (
+                    param_shardings(v, self.mesh)
+                    if k == "params"
+                    else jax.tree_util.tree_map(lambda _: rep, v)
+                )
+                for k, v in abs_vars.items()
+            }
+            variables = jax.jit(init_fn, out_shardings=out_sh)(rngs, batch)
         params = variables["params"]
         # plain dict so the pytree TYPE matches what model.apply(mutable=...)
         # returns from the train step (flax emits plain dicts)
         batch_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
-        if self.mesh is not None:
-            from recsys_tpu.parallel.sharding_rules import apply_param_shardings
-
-            rep = mesh_lib.replicated(self.mesh)
-            # embedding tables row-shard over the model axis (no-op on a
-            # pure-DP mesh); adam moments inherit the table layout because
-            # tx.init runs on the already-sharded params
-            params = apply_param_shardings(params, self.mesh)
-            batch_stats = jax.device_put(batch_stats, rep)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -447,8 +469,9 @@ class Trainer:
                     f.write(json.dumps(rec) + "\n")
             if (
                 early_stopping_patience is not None
-                and bad_epochs > early_stopping_patience
+                and bad_epochs >= early_stopping_patience
             ):
+                # Keras EarlyStopping stops once `wait >= patience`
                 break
         if best_params is not None:
             self.state = self.state.replace(
@@ -457,30 +480,20 @@ class Trainer:
         return history
 
     def evaluate_loss(self, data: dict, batch_size: int = 4096) -> float:
-        """Mean loss over `data`.  Full batches run through the compiled eval
-        step; the remainder runs at its exact size (one extra compile) so no
-        examples are dropped — a silently-truncated val_loss would corrupt
-        early stopping."""
-        if self._eval_step is None:
-            self._build_steps()
-        from recsys_tpu.data.prefetch import prefetch
+        """Loss over the WHOLE dataset, computed from predict()'s outputs.
 
-        n_total = _num_examples(data)
-        parts, n = [], 0  # device scalars; ONE fetch at the end
-        for batch in prefetch(self._batches(data, batch_size, False, True)):
-            db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
-            outputs = self._eval_step(self.state, db)
-            parts.append(self.loss_fn(outputs, db) * batch_size)
-            n += batch_size
-        if n < n_total:
-            tail = jax.tree_util.tree_map(lambda a: a[n:], data)
-            db = mesh_lib.shard_batch(_device_batch(tail), self.mesh)
-            outputs = self._eval_step(self.state, db)
-            parts.append(self.loss_fn(outputs, db) * (n_total - n))
-            n = n_total
-        if not parts:
-            return 0.0
-        return float(jnp.sum(jnp.stack(parts))) / max(n, 1)
+        predict's pad-and-mask batching keeps every device batch at the
+        full (mesh-divisible) batch size, so the remainder can't crash a
+        sharded run (an exact-size tail batch is generally not divisible
+        by the data axis), and applying ``loss_fn`` once over the full
+        outputs weights every example exactly once."""
+        outputs = self.predict(data, batch_size)
+        outputs = jax.tree_util.tree_map(jnp.asarray, outputs)
+        device_data = {
+            k: jnp.asarray(v) for k, v in data.items()
+            if not k.startswith("_")
+        }
+        return float(self.loss_fn(outputs, device_data))
 
     def predict(self, data: dict, batch_size: int = 4096):
         """Forward pass over a dataset; returns stacked outputs (pytree)."""
@@ -516,23 +529,36 @@ class Trainer:
 
         if self._eval_step is None:
             self._build_steps()
-        num_bins = 8192
+        from recsys_tpu.data.prefetch import prefetch
 
-        @jax.jit
-        def hist_step(state, batch, valid):
-            feats = {k: v for k, v in batch.items() if k != label_key}
-            out = self.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                feats,
-                training=False,
-            )
-            scores = jax.nn.sigmoid(out) if from_logits else out
-            return metrics_lib.auc_histogram(
-                scores, batch[label_key], num_bins, weights=valid
-            )
+        num_bins = 8192
+        # cache the jitted histogram step per argument combination — a
+        # fresh closure per call would recompile the model forward on
+        # every per-epoch eval
+        key = (label_key, from_logits)
+        if not hasattr(self, "_hist_steps"):
+            self._hist_steps = {}
+        if key not in self._hist_steps:
+
+            @jax.jit
+            def hist_step(state, batch, valid):
+                feats = {k: v for k, v in batch.items() if k != label_key}
+                out = self.model.apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    feats,
+                    training=False,
+                )
+                scores = jax.nn.sigmoid(out) if from_logits else out
+                return metrics_lib.auc_histogram(
+                    scores, batch[label_key], num_bins, weights=valid
+                )
+
+            self._hist_steps[key] = hist_step
+        hist_step = self._hist_steps[key]
 
         acc = metrics_lib.AucAccumulator(num_bins)
-        for batch in self._batches(data, batch_size, False, False):
+        for batch in prefetch(self._batches(data, batch_size, False, False)):
             valid = jnp.asarray(
                 batch.pop("_valid", np.ones(batch_size, np.float32))
             )

@@ -100,6 +100,8 @@ def sampled_softmax(
     neg_embs: jnp.ndarray,
     pos_log_q: jnp.ndarray | None = None,
     neg_log_q: jnp.ndarray | None = None,
+    pos_ids: jnp.ndarray | None = None,
+    neg_ids: jnp.ndarray | None = None,
     temperature: float = 1.0,
 ) -> jnp.ndarray:
     """Sampled softmax over explicit catalog negatives with logQ correction.
@@ -109,7 +111,11 @@ def sampled_softmax(
     [positive, S sampled negatives].  query/pos (B, D); neg (S, D) shared
     across the batch or (B, S, D) per-example; ``*_log_q`` are the log
     sampling probabilities (e.g. from :func:`log_uniform_candidates`) so
-    popular negatives are not over-penalised.  In-batch negatives
+    popular negatives are not over-penalised.  Pass ``pos_ids`` (B,) and
+    ``neg_ids`` ((S,) or (B, S)) to mask accidental hits — a sampled
+    negative equal to the example's positive — like TF's
+    remove_accidental_hits=True default (a Zipfian sampler collides with
+    popular positives often).  In-batch negatives
     (:func:`in_batch_sampled_softmax`) remain the idiomatic TPU default.
     """
     pos_logit = jnp.sum(
@@ -131,6 +137,11 @@ def sampled_softmax(
             neg_logits = neg_logits - neg_log_q
     if pos_log_q is not None:
         pos_logit = pos_logit - pos_log_q[:, None]
+    if pos_ids is not None and neg_ids is not None:
+        hit = (
+            neg_ids[None, :] if neg_ids.ndim == 1 else neg_ids
+        ) == pos_ids[:, None]  # (B, S)
+        neg_logits = jnp.where(hit, -jnp.inf, neg_logits)
     logits = jnp.concatenate([pos_logit, neg_logits], axis=1)
     return jnp.mean(-jax.nn.log_softmax(logits, axis=-1)[:, 0])
 

@@ -56,7 +56,11 @@ def auc_histogram(
 
 
 def auc_from_histogram(pos: jnp.ndarray, neg: jnp.ndarray) -> jnp.ndarray:
-    """Trapezoidal AUC from per-class score histograms."""
+    """Trapezoidal AUC from per-class score histograms.
+
+    Single-class inputs (no positives or no negatives) return the
+    conventional 0.5, matching :func:`auc_exact`, instead of a silent 0.
+    """
     # Sweep thresholds from high score to low: cumulative TP/FP counts.
     tp = jnp.cumsum(pos[::-1])
     fp = jnp.cumsum(neg[::-1])
@@ -64,7 +68,9 @@ def auc_from_histogram(pos: jnp.ndarray, neg: jnp.ndarray) -> jnp.ndarray:
     total_neg = jnp.maximum(fp[-1], 1.0)
     tpr = jnp.concatenate([jnp.zeros((1,)), tp / total_pos])
     fpr = jnp.concatenate([jnp.zeros((1,)), fp / total_neg])
-    return jnp.sum((fpr[1:] - fpr[:-1]) * 0.5 * (tpr[1:] + tpr[:-1]))
+    area = jnp.sum((fpr[1:] - fpr[:-1]) * 0.5 * (tpr[1:] + tpr[:-1]))
+    degenerate = (tp[-1] == 0.0) | (fp[-1] == 0.0)
+    return jnp.where(degenerate, 0.5, area)
 
 
 def auc(scores, labels, num_bins: int = 8192) -> float:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from recsys_tpu.parallel.mesh import MODEL_AXIS
+from recsys_tpu.parallel.mesh import pad_to_multiple, MODEL_AXIS
 
 
 def topk_scores(
@@ -55,7 +55,7 @@ def topk_scores_sharded(
     """
     n_shards = mesh.shape[MODEL_AXIS]
     n = item_embs.shape[0]
-    pad = (-n) % n_shards
+    pad = pad_to_multiple(n, n_shards) - n
     if pad:
         item_embs = jnp.concatenate(
             [item_embs, jnp.full((pad, item_embs.shape[1]), -jnp.inf,
@@ -66,7 +66,6 @@ def topk_scores_sharded(
         query_embs = _l2(query_embs)
 
     def local_topk(q, items):
-        items = items[0] if items.ndim == 3 else items
         it = _l2(items) if normalize else items
         scores = jnp.einsum(
             "qd,nd->qn", q, it, preferred_element_type=jnp.float32
@@ -114,7 +113,7 @@ def topk_scores_streaming(
         item_embs = _l2(item_embs)
     n, d = item_embs.shape
     q = query_embs.shape[0]
-    pad = (-n) % tile
+    pad = pad_to_multiple(n, tile) - n
     if pad:
         item_embs = jnp.concatenate(
             [item_embs, jnp.zeros((pad, d), item_embs.dtype)], axis=0
