@@ -113,22 +113,36 @@ def sharded_gather_dedup(
 # -- a2a building blocks (shared by the single-shot and pipelined engines) --
 
 def _a2a_bucket(ids, v_local, n_model, cap):
-    """Owner-bucket one chunk's ids -> (send (S, C), undo state).
+    """Owner-bucket one chunk's ids -> (send (S, C), undo state, dropped).
 
     Slot 0 of each bucket means "no id" (ids are shifted +1); ids past an
     owner's capacity are dropped by the mode='drop' scatter and later
-    produce zero vectors via the overflow mask."""
+    produce zero vectors via the overflow mask.  NEGATIVE ids are padding
+    (e.g. the -1 fill of :func:`unique_with_counts_static` or the pipelined
+    engine's chunk padding): they consume NO capacity, cross no wire, and
+    come back as zero vectors.  ``dropped`` counts the real (non-padding)
+    ids this shard could not serve — the overflow signal surfaced by
+    ``return_stats``."""
     n = ids.shape[0]
-    owner = ids // v_local
+    valid = ids >= 0
+    # invalid ids get the out-of-range owner S: bincount drops them, the
+    # stable sort puts them last, and the send scatter's mode='drop'
+    # discards their slots
+    owner = jnp.where(valid, ids // v_local, n_model)
     order = jnp.argsort(owner, stable=True)
     sorted_ids = ids[order]
     sorted_owner = owner[order]
     counts = jnp.bincount(owner, length=n_model)
     group_start = jnp.cumsum(counts) - counts
-    pos_in_group = jnp.arange(n) - group_start[sorted_owner]
+    pos_in_group = jnp.arange(n) - group_start[
+        jnp.minimum(sorted_owner, n_model - 1)
+    ]
     send = jnp.zeros((n_model, cap), jnp.int32)
     send = send.at[sorted_owner, pos_in_group].set(sorted_ids + 1, mode="drop")
-    return send, (order, sorted_owner, pos_in_group)
+    dropped = jnp.sum(
+        ((pos_in_group >= cap) & (sorted_owner < n_model)).astype(jnp.int32)
+    )
+    return send, (order, sorted_owner, pos_in_group), dropped
 
 
 def _a2a_serve(table_shard, recv):
@@ -145,23 +159,39 @@ def _a2a_serve(table_shard, recv):
 
 
 def _a2a_unbucket(back, state, n_model, cap, d):
-    """Undo the owner sort; zero overflowed (dropped) slots."""
+    """Undo the owner sort; zero overflowed (dropped) and padding slots."""
     order, sorted_owner, pos_in_group = state
     flat = back.reshape(n_model * cap, d)
     slot = sorted_owner * cap + pos_in_group
-    overflow = pos_in_group >= cap
+    dead = (pos_in_group >= cap) | (sorted_owner >= n_model)
     gathered = jnp.take(flat, jnp.clip(slot, 0, n_model * cap - 1), axis=0)
-    gathered = gathered * (~overflow)[:, None].astype(gathered.dtype)
+    gathered = gathered * (~dead)[:, None].astype(gathered.dtype)
     return jnp.zeros_like(gathered).at[order].set(gathered)
+
+
+def a2a_capacity(n: int, n_model: int, capacity_factor: float | None) -> int:
+    """Owner-bucket slot count for an n-id exchange.
+
+    ``capacity_factor=None`` is the EXACT mode: every id is served even if
+    all n land on one owner (cap = n) — the escape hatch when drops are
+    unacceptable and the skew is unknown.  Otherwise
+    ``cap = ceil(n / S * capacity_factor)``; uniform ids need ~1.3,
+    production skew typically 2-4 with ``return_stats`` watching the
+    dropped counter (see StackedEmbedding's ``a2a_dropped`` surface).
+    """
+    if capacity_factor is None:
+        return n
+    return min(n, int(np.ceil(n / n_model * capacity_factor)))
 
 
 def sharded_gather_a2a(
     table: jnp.ndarray,
     rows: jnp.ndarray,
     mesh: Mesh,
-    capacity_factor: float = 2.0,
+    capacity_factor: float | None = 2.0,
     dedup: bool = False,
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """Row-sharded lookup via explicit all-to-all ID exchange.
 
     The production pattern for large tables (SURVEY.md §2.5 north star):
@@ -174,8 +204,13 @@ def sharded_gather_a2a(
 
     Static shapes via a capacity factor: each owner bucket holds
     ``C = ceil(N / S * capacity_factor)`` slots; IDs beyond an owner's
-    capacity are dropped and produce ZERO vectors (choose capacity for
-    your skew; uniform IDs need ~1.3, worst-case exactness needs S).
+    capacity are dropped and produce ZERO vectors.  ``capacity_factor=None``
+    is the exact mode (C = N, no drop possible at any skew).  With
+    ``return_stats=True`` returns ``(out, dropped)`` where ``dropped`` is
+    the GLOBAL number of ids that overflowed this step (an int32 scalar,
+    replicated) — wire it into training metrics so capacity overflow is an
+    observable, never a silent quality regression.  Negative ids are
+    treated as padding (zero vector, no capacity consumed).
     """
     n_model = mesh.shape[MODEL_AXIS]
 
@@ -189,9 +224,9 @@ def sharded_gather_a2a(
         n = ids.shape[0]
         v_local = table_shard.shape[0]
         d = table_shard.shape[-1]
-        cap = int(np.ceil(n / n_model * capacity_factor))
+        cap = a2a_capacity(n, n_model, capacity_factor)
 
-        send, state = _a2a_bucket(ids, v_local, n_model, cap)
+        send, state, dropped = _a2a_bucket(ids, v_local, n_model, cap)
         # exchange: shard s receives every shard's bucket destined for it
         recv = jax.lax.all_to_all(
             send, MODEL_AXIS, split_axis=0, concat_axis=0, tiled=False
@@ -205,13 +240,17 @@ def sharded_gather_a2a(
         out = _a2a_unbucket(back, state, n_model, cap, d)
         if dedup:
             out = jnp.take(out, inverse, axis=0)
-        return out.reshape(*shape, d)
+        out = out.reshape(*shape, d)
+        if not return_stats:
+            return out
+        return out, jax.lax.psum(dropped, DATA_AXIS)
 
+    out_specs = (P(DATA_AXIS), P()) if return_stats else P(DATA_AXIS)
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
+        out_specs=out_specs,
         check_vma=False,
     )
     return fn(table, rows.astype(jnp.int32))
@@ -222,8 +261,9 @@ def sharded_gather_a2a_pipelined(
     rows: jnp.ndarray,
     mesh: Mesh,
     num_chunks: int = 2,
-    capacity_factor: float = 2.0,
-) -> jnp.ndarray:
+    capacity_factor: float | None = 2.0,
+    return_stats: bool = False,
+):
     """:func:`sharded_gather_a2a` with an explicit comm/compute pipeline.
 
     The batch is split into ``num_chunks`` id chunks and the schedule is
@@ -232,8 +272,13 @@ def sharded_gather_a2a_pipelined(
     chunks' collectives data-independent of each other's compute, XLA's
     latency-hiding scheduler can run chunk k's return exchange while chunk
     k+1's local gather computes — the explicit overlap STATUS.md's round-1
-    gap called for.  Semantics are identical to ``sharded_gather_a2a``
-    (same capacity/drop rule per chunk, applied to chunk-local counts).
+    gap called for.
+
+    Capacity: each chunk's owner buckets are sized from the UNCHUNKED id
+    count — ``cap = a2a_capacity(n, S, capacity_factor)`` — so chunking can
+    never drop an id the single-shot engine would have served, whatever the
+    per-chunk owner skew (round-1 advisor finding).  Chunk padding uses the
+    id -1, which consumes no capacity (it is not bucketed to owner 0).
     """
     n_model = mesh.shape[MODEL_AXIS]
 
@@ -243,18 +288,20 @@ def sharded_gather_a2a_pipelined(
         n = flat.shape[0]
         k = max(1, min(num_chunks, n))
         pad = pad_to_multiple(n, k) - n
-        flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
+        flat = jnp.concatenate([flat, jnp.full(pad, -1, flat.dtype)])
         chunks = flat.reshape(k, -1)
-        cap = int(np.ceil(chunks.shape[1] / n_model * capacity_factor))
+        cap = a2a_capacity(n, n_model, capacity_factor)
         d = table_shard.shape[-1]
 
         v_local = table_shard.shape[0]
         # phase A: every chunk's id exchange, issued back to back
         sends, states, recvs = [], [], []
+        dropped = jnp.zeros((), jnp.int32)
         for c in range(k):
-            send, st = _a2a_bucket(chunks[c], v_local, n_model, cap)
+            send, st, drop_c = _a2a_bucket(chunks[c], v_local, n_model, cap)
             sends.append(send)
             states.append(st)
+            dropped = dropped + drop_c
         for c in range(k):
             recvs.append(jax.lax.all_to_all(
                 sends[c], MODEL_AXIS, split_axis=0, concat_axis=0,
@@ -271,13 +318,17 @@ def sharded_gather_a2a_pipelined(
             )
             outs.append(_a2a_unbucket(back, states[c], n_model, cap, d))
         out = jnp.concatenate(outs, axis=0)[:n]
-        return out.reshape(*shape, d)
+        out = out.reshape(*shape, d)
+        if not return_stats:
+            return out
+        return out, jax.lax.psum(dropped, DATA_AXIS)
 
+    out_specs = (P(DATA_AXIS), P()) if return_stats else P(DATA_AXIS)
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
+        out_specs=out_specs,
         check_vma=False,
     )
     return fn(table, rows.astype(jnp.int32))
@@ -315,12 +366,13 @@ def sharded_gather_cols(
 
 def unique_with_counts_static(ids: jnp.ndarray):
     """Static-shape dedup: returns (uniq, inverse) with uniq padded to
-    ids.shape (duplicates replaced by the first occurrence's value).
+    ids.shape (tail slots filled with -1).
 
     jit-safe replacement for jnp.unique (whose output shape is dynamic):
     sorts ids, marks first occurrences, and builds an inverse map such that
-    ``uniq[inverse] == ids``.  Padding slots repeat a real id, so gathers
-    through them are harmless (their results are never selected).
+    ``uniq[inverse] == ids``.  Padding slots hold -1 — the sentinel every
+    lookup engine here treats as "no id" (zero vector, no a2a capacity
+    consumed); the inverse map never points at them.
     """
     n = ids.shape[0]
     order = jnp.argsort(ids)
@@ -330,11 +382,9 @@ def unique_with_counts_static(ids: jnp.ndarray):
     )
     # group index of each sorted position = cumsum(first) - 1
     group = jnp.cumsum(first) - 1
-    # uniq[g] = value of group g (scatter; padded tail repeats last value)
     uniq = jnp.zeros_like(ids).at[group].set(sorted_ids)
     n_uniq = group[-1] + 1
-    fill = uniq[0]
     slot = jnp.arange(n)
-    uniq = jnp.where(slot < n_uniq, uniq, fill)
+    uniq = jnp.where(slot < n_uniq, uniq, -1)
     inverse = jnp.zeros_like(ids).at[order].set(group)
     return uniq, inverse

@@ -244,3 +244,95 @@ def test_make_multihost_mesh_single_process_fallback():
 
     mesh = make_multihost_mesh(model=2)
     assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_a2a_overflow_detected_and_exact_mode(mesh_4x2):
+    """Tight capacity DROPS ids — and the stats output detects it; the
+    exact mode (capacity_factor=None) serves the same skew losslessly."""
+    from recsys_tpu.parallel.embedding_sharding import sharded_gather_a2a
+
+    table = jnp.arange(64 * 4, dtype=jnp.float32).reshape(64, 4)
+    # worst-case skew: every id owned by shard 0
+    rows = jnp.asarray(np.full((8, 6), 3), jnp.int32)
+    t = shard_table(table, mesh_4x2)
+
+    out, dropped = sharded_gather_a2a(
+        t, rows, mesh_4x2, capacity_factor=1.0, return_stats=True
+    )
+    # each data shard holds 2 rows x 6 = 12 ids, cap = ceil(12/2*1.0) = 6
+    # -> 6 of each data shard's 12 ids overflow; the global counter sees
+    # all 4 data shards' drops
+    assert int(dropped) == 4 * 6
+    # dropped ids came back as zero vectors (the documented failure mode)
+    n_zero = int(jnp.sum(jnp.all(out == 0.0, axis=-1)))
+    assert n_zero == 4 * 6
+
+    # escape hatch: exact mode never drops, whatever the skew
+    out2, dropped2 = sharded_gather_a2a(
+        t, rows, mesh_4x2, capacity_factor=None, return_stats=True
+    )
+    assert int(dropped2) == 0
+    np.testing.assert_allclose(out2, jnp.take(table, rows, axis=0), rtol=1e-6)
+
+
+def test_a2a_negative_ids_are_padding(mesh_4x2):
+    from recsys_tpu.parallel.embedding_sharding import sharded_gather_a2a
+
+    rng = np.random.default_rng(13)
+    table = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+    rows = np.asarray(rng.integers(0, 64, (8, 6)), np.int32)
+    rows[:, -2:] = -1  # padding slots
+    t = shard_table(table, mesh_4x2)
+    out, dropped = sharded_gather_a2a(
+        t, jnp.asarray(rows), mesh_4x2, capacity_factor=2.0,
+        return_stats=True,
+    )
+    assert int(dropped) == 0
+    want = np.array(jnp.take(table, jnp.clip(jnp.asarray(rows), 0, 63),
+                             axis=0))
+    want[rows < 0] = 0.0
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_a2a_pipelined_capacity_from_unchunked_n(mesh_4x2):
+    """Per-chunk skew that would overflow a chunk-local capacity must not
+    drop ids the single-shot engine serves (round-1 advisor finding)."""
+    from recsys_tpu.parallel.embedding_sharding import (
+        sharded_gather_a2a,
+        sharded_gather_a2a_pipelined,
+    )
+
+    table = jnp.arange(64 * 4, dtype=jnp.float32).reshape(64, 4)
+    # 8 ids per data shard; chunk 0 all owned by shard 0, chunk 1 all by
+    # shard 1 -> chunk-local counts are 2x the uniform per-chunk estimate
+    rows = jnp.asarray(
+        np.tile(np.asarray([1, 2, 3, 4, 40, 41, 42, 43]), (8, 1)), jnp.int32
+    )
+    t = shard_table(table, mesh_4x2)
+    want = sharded_gather_a2a(t, rows, mesh_4x2, capacity_factor=1.0)
+    np.testing.assert_allclose(want, jnp.take(table, rows, axis=0),
+                               rtol=1e-6)
+    got, dropped = sharded_gather_a2a_pipelined(
+        t, rows, mesh_4x2, num_chunks=2, capacity_factor=1.0,
+        return_stats=True,
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(got, jnp.take(table, rows, axis=0), rtol=1e-6)
+
+
+def test_a2a_dedup_padding_consumes_no_capacity(mesh_4x2):
+    """After dedup, the uniq tail padding must not eat owner capacity:
+    8 ids deduping to 2 uniques fit in cap=ceil(8/2*0.5)=2 even though all
+    6 pad slots would have overflowed owner 0 under the old real-id fill."""
+    from recsys_tpu.parallel.embedding_sharding import sharded_gather_a2a
+
+    table = jnp.arange(64 * 4, dtype=jnp.float32).reshape(64, 4)
+    rows = jnp.asarray(np.tile(np.asarray([3, 3, 3, 3, 5, 5, 5, 5]), (8, 1)),
+                       jnp.int32)
+    t = shard_table(table, mesh_4x2)
+    out, dropped = sharded_gather_a2a(
+        t, rows, mesh_4x2, capacity_factor=0.5, dedup=True,
+        return_stats=True,
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(out, jnp.take(table, rows, axis=0), rtol=1e-6)
