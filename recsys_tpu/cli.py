@@ -75,10 +75,26 @@ def run_ctr(args):
         import jax.numpy as jnp
 
         kw["compute_dtype"] = jnp.bfloat16
+    mesh = None
+    if args.mesh_model > 1 or args.embedding_engine != "gather":
+        from recsys_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model=max(args.mesh_model, 1))
+        if args.embedding_engine != "gather":
+            # one group table -> ONE a2a exchange pair per train step
+            kw["embed_kw"] = {
+                "engine": args.embedding_engine, "mesh": mesh,
+                "num_groups": 1,
+                "capacity_factor": (
+                    args.capacity_factor if args.capacity_factor > 0
+                    else None  # <=0 selects the exact (never-drop) mode
+                ),
+            }
     tr = Trainer(
         _ctr_model(args.model, schema, **kw),
         learning_rate=args.lr,
         embedding_optimizer=args.embedding_optimizer or None,
+        mesh=mesh,
     )
     tr.fit(
         train,
@@ -427,6 +443,18 @@ def main(argv=None):
     p.add_argument("--embedding-optimizer", default="",
                    choices=["", "lazy_adam", "rowwise_adagrad"],
                    help="touched-rows-only table updates (ctr task)")
+    p.add_argument("--embedding-engine", default="gather",
+                   choices=["gather", "psum", "dedup", "a2a",
+                            "a2a_pipelined"],
+                   help="sharded-lookup engine for ctr models (a2a = "
+                        "explicit all-to-all id exchange over the model "
+                        "mesh axis)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="model-axis size for embedding-table row sharding "
+                        "(data axis takes the remaining devices)")
+    p.add_argument("--capacity-factor", type=float, default=2.0,
+                   help="a2a owner-bucket capacity factor; <=0 = exact "
+                        "(never drop) mode")
     p.add_argument("--bf16", action="store_true",
                    help="MXU-native bf16 compute (DLRM)")
     p.add_argument("--retrieval-loss", choices=["softmax", "bce"],

@@ -46,6 +46,23 @@ def pack_factor(embed_dim: int, vocab: int | None = None) -> int:
     return p
 
 
+def packed_select(
+    wide: jnp.ndarray, rows: jnp.ndarray, pack: int, embed_dim: int
+) -> jnp.ndarray:
+    """Select each row's sub-slot from fetched WIDE physical rows.
+
+    ``wide`` is rows.shape + (pack * embed_dim,) — the physical rows
+    holding vocab rows ``rows`` (fetched by any engine: local take, psum,
+    or all-to-all exchange).  The sub-row is selected with a one-hot
+    einsum (vectorised multiply+reduce — NOT take_along_axis, which would
+    lower to another narrow gather)."""
+    if pack == 1:
+        return wide
+    wide = wide.reshape(*rows.shape, pack, embed_dim)
+    onehot = jax.nn.one_hot(rows % pack, pack, dtype=wide.dtype)
+    return jnp.einsum("...pd,...p->...d", wide, onehot)
+
+
 def packed_gather(
     table: jnp.ndarray, rows: jnp.ndarray, pack: int, embed_dim: int
 ) -> jnp.ndarray:
@@ -53,20 +70,15 @@ def packed_gather(
 
     ``table`` is (ceil(V / pack), pack * embed_dim): physical row ``r``
     holds vocab rows ``r*pack .. r*pack+pack-1`` side by side.  The fetch
-    reads the wide physical row; the sub-row is selected with a one-hot
-    einsum (vectorised multiply+reduce — NOT take_along_axis, which would
-    lower to another narrow gather).  The autodiff backward spreads the
-    cotangent into the wide layout and scatter-adds whole physical rows,
-    which is the fast-scatter path this layout exists for.
+    reads the wide physical row; :func:`packed_select` picks the sub-row.
+    The autodiff backward spreads the cotangent into the wide layout and
+    scatter-adds whole physical rows, which is the fast-scatter path this
+    layout exists for.
     """
     if pack == 1:
         return jnp.take(table, rows, axis=0)
-    prow = rows // pack
-    sub = rows % pack
-    wide = jnp.take(table, prow, axis=0)  # rows.shape + (pack*D,)
-    wide = wide.reshape(*rows.shape, pack, embed_dim)
-    onehot = jax.nn.one_hot(sub, pack, dtype=wide.dtype)
-    return jnp.einsum("...pd,...p->...d", wide, onehot)
+    wide = jnp.take(table, rows // pack, axis=0)  # rows.shape + (pack*D,)
+    return packed_select(wide, rows, pack, embed_dim)
 
 
 def pool(emb: jnp.ndarray, mask: jnp.ndarray, *, mode: str = "mean"):

@@ -28,12 +28,18 @@ class AutoInt(nn.Module):
     # see recsys_tpu/train/sparse_embed.py
     sparse_embed_grads: bool = False
 
+    # passthrough construction kwargs for StackedEmbedding (engine/mesh/
+    # capacity_factor/num_groups ... ) -- how the Trainer/CLI select the
+    # explicit sharded-lookup engines (see ops/embedding.py ENGINES)
+    embed_kw: dict | None = None
+
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense = batch["sparse"], batch.get("dense")
         d = self.schema.embed_dim
         x = StackedEmbedding(
-            self.schema, perturb_out=self.sparse_embed_grads
+            self.schema, perturb_out=self.sparse_embed_grads,
+            **(self.embed_kw or {}),
         )(sparse)  # (B, F, D)
         if dense is not None and dense.shape[-1] > 0:
             # per-dense-feature learned vector scaled by the value

@@ -26,11 +26,17 @@ class DeepFM(nn.Module):
     # see recsys_tpu/train/sparse_embed.py
     sparse_embed_grads: bool = False
 
+    # passthrough construction kwargs for StackedEmbedding (engine/mesh/
+    # capacity_factor/num_groups ... ) -- how the Trainer/CLI select the
+    # explicit sharded-lookup engines (see ops/embedding.py ENGINES)
+    embed_kw: dict | None = None
+
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense = batch["sparse"], batch.get("dense")
         field_embs = StackedEmbedding(
-            self.schema, perturb_out=self.sparse_embed_grads
+            self.schema, perturb_out=self.sparse_embed_grads,
+            **(self.embed_kw or {}),
         )(sparse)  # (B, F, D)
         b, f, d = field_embs.shape
 

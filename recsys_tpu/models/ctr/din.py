@@ -41,11 +41,16 @@ class DIN(nn.Module):
     ffn_activation: str = "prelu"  # 'prelu' or 'dice'
     dropout_rate: float = 0.0
 
+    # passthrough construction kwargs for StackedEmbedding (engine/mesh/
+    # capacity_factor/num_groups ... ) -- how the Trainer/CLI select the
+    # explicit sharded-lookup engines (see ops/embedding.py ENGINES)
+    embed_kw: dict | None = None
+
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense, hist = batch["sparse"], batch.get("dense"), batch["hist"]
         hist_cate = batch.get("hist_cate")
-        table = StackedEmbedding(self.schema)
+        table = StackedEmbedding(self.schema, **(self.embed_kw or {}))
         field_embs = table(sparse)  # (B, F, D)
         target_emb = field_embs[:, self.target_index, :]  # (B, D)
 

@@ -36,12 +36,18 @@ class DLRM(nn.Module):
     # see recsys_tpu/train/sparse_embed.py
     sparse_embed_grads: bool = False
 
+    # passthrough construction kwargs for StackedEmbedding (engine/mesh/
+    # capacity_factor/num_groups ... ) -- how the Trainer/CLI select the
+    # explicit sharded-lookup engines (see ops/embedding.py ENGINES)
+    embed_kw: dict | None = None
+
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse, dense = batch["sparse"], batch.get("dense")
         d = self.schema.embed_dim
         field_embs = StackedEmbedding(
-            self.schema, perturb_out=self.sparse_embed_grads
+            self.schema, perturb_out=self.sparse_embed_grads,
+            **(self.embed_kw or {}),
         )(sparse)  # (B, F, D)
         if self.compute_dtype is not None:
             field_embs = field_embs.astype(self.compute_dtype)

@@ -29,10 +29,15 @@ class ESMM(nn.Module):
     head_units: Sequence[int] = (64, 32)
     dropout_rate: float = 0.0
 
+    # passthrough construction kwargs for StackedEmbedding (engine/mesh/
+    # capacity_factor/num_groups ... ) -- how the Trainer/CLI select the
+    # explicit sharded-lookup engines (see ops/embedding.py ENGINES)
+    embed_kw: dict | None = None
+
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> dict:
         sparse, dense = batch["sparse"], batch.get("dense")
-        field_embs = StackedEmbedding(self.schema)(sparse)  # (B, F, D)
+        field_embs = StackedEmbedding(self.schema, **(self.embed_kw or {}))(sparse)  # (B, F, D)
         b = sparse.shape[0]
         u = field_embs[:, : self.num_user_fields, :].reshape(b, -1)
         i = field_embs[:, self.num_user_fields :, :].reshape(b, -1)

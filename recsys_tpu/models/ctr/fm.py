@@ -24,13 +24,19 @@ class FM(nn.Module):
     # see recsys_tpu/train/sparse_embed.py
     sparse_embed_grads: bool = False
 
+    # passthrough construction kwargs for StackedEmbedding (engine/mesh/
+    # capacity_factor/num_groups ... ) -- how the Trainer/CLI select the
+    # explicit sharded-lookup engines (see ops/embedding.py ENGINES)
+    embed_kw: dict | None = None
+
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> jnp.ndarray:
         sparse = batch["sparse"]  # (B, F_s) int32
         dense = batch.get("dense")  # (B, F_d) float32 or None
 
         field_embs = StackedEmbedding(
-            self.schema, perturb_out=self.sparse_embed_grads
+            self.schema, perturb_out=self.sparse_embed_grads,
+            **(self.embed_kw or {}),
         )(sparse)  # (B, F_s, D)
         first = SparseLinear(self.schema)(sparse)  # (B,)
         bias = self.param("bias", nn.initializers.zeros, ())

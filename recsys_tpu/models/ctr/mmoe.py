@@ -28,12 +28,17 @@ class MMoE(nn.Module):
     tower_units: Sequence[int] = (32,)
     dropout_rate: float = 0.0
 
+    # passthrough construction kwargs for StackedEmbedding (engine/mesh/
+    # capacity_factor/num_groups ... ) -- how the Trainer/CLI select the
+    # explicit sharded-lookup engines (see ops/embedding.py ENGINES)
+    embed_kw: dict | None = None
+
     @nn.compact
     def __call__(self, batch: dict, *, training: bool = False) -> dict:
         sparse, dense = batch.get("sparse"), batch.get("dense")
         parts = []
         if sparse is not None and sparse.shape[-1] > 0:
-            embs = StackedEmbedding(self.schema)(sparse)
+            embs = StackedEmbedding(self.schema, **(self.embed_kw or {}))(sparse)
             parts.append(embs.reshape(sparse.shape[0], -1))
         if dense is not None and dense.shape[-1] > 0:
             parts.append(dense)

@@ -55,6 +55,9 @@ def _pad8(n: int) -> int:
     return ((n + 7) // 8) * 8
 
 
+ENGINES = ("gather", "psum", "dedup", "a2a", "a2a_pipelined")
+
+
 class StackedEmbedding(nn.Module):
     """Grouped embedding tables behind a stacked-offset API.
 
@@ -67,6 +70,24 @@ class StackedEmbedding(nn.Module):
     per 512-byte physical row.  See kernels.embedding.pack_factor for the
     measured 3-4x scatter/gather win this buys on TPU; ``table_logical``
     recovers the (V, D) view (a free reshape).
+
+    ``engine`` selects the sharded-lookup mechanism (requires ``mesh``):
+
+    * ``'gather'`` (default) — plain ``jnp.take``; under a Trainer mesh the
+      tables carry P('model', None) and XLA's SPMD partitioner emits the
+      masked-local-gather + all-reduce (the compiler-partitioned path).
+    * ``'psum'`` / ``'dedup'`` — the explicit shard_map psum engine
+      (parallel/embedding_sharding.sharded_gather[_dedup]).
+    * ``'a2a'`` / ``'a2a_pipelined'`` — explicit all-to-all ID exchange,
+      the production path for tables too large to replicate: per-shard
+      comm is O(N/S ids + N*D/S vectors) instead of the psum engine's
+      O(N*D).  All of a group's fields exchange in ONE a2a pair, so
+      ``num_groups=1`` gives one exchange per step.  Dropped-id counts are
+      sown into the ``'a2a_stats'`` collection every call — the Trainer
+      surfaces them as ``history['a2a_dropped']``; ``capacity_factor=None``
+      is the exact (never-drop) mode.  Replaces the reference's replicated
+      per-device tables (/root/reference/src/ctr/deep_fm/model.py:31-38
+      under MirroredStrategy).
     """
 
     schema: FeatureSchema
@@ -78,8 +99,21 @@ class StackedEmbedding(nn.Module):
     # (V, D) cotangent — the tap for train/sparse_embed.py's touched-rows
     # optimizer path.  No-op unless a 'perturbations' collection is passed.
     perturb_out: bool = False
+    engine: str = "gather"
+    mesh: object = None  # jax.sharding.Mesh for the explicit engines
+    capacity_factor: float | None = 2.0  # None = exact (never drop)
+    a2a_dedup: bool = True
+    a2a_chunks: int = 2  # pipelined engine's comm/compute overlap depth
 
     def setup(self):
+        if self.engine not in ENGINES:
+            raise ValueError(
+                f"engine={self.engine!r} not in {ENGINES}"
+            )
+        if self.engine != "gather" and self.mesh is None:
+            raise ValueError(
+                f"engine={self.engine!r} needs a mesh (pass the Trainer's)"
+            )
         d = self.schema.embed_dim
         group_of, offset_in, group_vocab = _group_assignment(
             self.schema, self.num_groups
@@ -107,17 +141,60 @@ class StackedEmbedding(nn.Module):
     def pack(self, field_name: str) -> int:
         return self._packs[self._group_of[field_name]]
 
-    def __call__(self, sparse_ids: jnp.ndarray) -> jnp.ndarray:
-        d = self.schema.embed_dim
-        cols = []
-        for j, f in enumerate(self.schema.sparse):
-            g = self._group_of[f.name]
-            rows = sparse_ids[:, j].astype(jnp.int32) + self._offset_in[f.name]
-            cols.append(
-                embedding_kernels.packed_gather(
-                    self.tables[g], rows, self._packs[g], d
-                )
+    def _fetch_wide(self, g: int, prows: jnp.ndarray) -> jnp.ndarray:
+        """Fetch PHYSICAL rows ``prows`` of group table ``g`` through the
+        selected engine; returns prows.shape + (pack*D,)."""
+        table = self.tables[g]
+        if self.engine == "gather":
+            return jnp.take(table, prows, axis=0)
+        from recsys_tpu.parallel import embedding_sharding as es
+
+        if self.engine == "psum":
+            return es.sharded_gather(table, prows, self.mesh)
+        if self.engine == "dedup":
+            return es.sharded_gather_dedup(table, prows, self.mesh)
+        if self.engine == "a2a":
+            out, dropped = es.sharded_gather_a2a(
+                table, prows, self.mesh,
+                capacity_factor=self.capacity_factor,
+                dedup=self.a2a_dedup, return_stats=True,
             )
+        else:  # a2a_pipelined
+            out, dropped = es.sharded_gather_a2a_pipelined(
+                table, prows, self.mesh, num_chunks=self.a2a_chunks,
+                capacity_factor=self.capacity_factor, return_stats=True,
+            )
+        # overflow observability: the Trainer picks this up per step and
+        # reports history['a2a_dropped'] (see VERDICT.md round-1 weak #1)
+        self.sow("a2a_stats", "dropped", dropped)
+        return out
+
+    def _engine_gather(self, g: int, rows: jnp.ndarray) -> jnp.ndarray:
+        """Vocab-row gather via the engine (physical fetch + sub-select)."""
+        pack = self._packs[g]
+        prows = rows // pack if pack > 1 else rows
+        wide = self._fetch_wide(g, prows)
+        return embedding_kernels.packed_select(
+            wide, rows, pack, self.schema.embed_dim
+        )
+
+    def __call__(self, sparse_ids: jnp.ndarray) -> jnp.ndarray:
+        # group-batched: all of a group's field columns fetch in ONE engine
+        # call, so the explicit engines do one collective pair per group
+        # (num_groups=1 -> one a2a exchange for the whole batch)
+        by_group: dict[int, list[int]] = {}
+        for j, f in enumerate(self.schema.sparse):
+            by_group.setdefault(self._group_of[f.name], []).append(j)
+        cols: list = [None] * len(self.schema.sparse)
+        for g, js in by_group.items():
+            offs = jnp.asarray(
+                [self._offset_in[self.schema.sparse[j].name] for j in js],
+                jnp.int32,
+            )
+            rows = sparse_ids[:, js].astype(jnp.int32) + offs[None, :]
+            emb = self._engine_gather(g, rows)  # (B, |js|, D)
+            for i, j in enumerate(js):
+                cols[j] = emb[:, i, :]
         out = jnp.stack(cols, axis=1)  # (B, F, D)
         if self.perturb_out:
             out = self.perturb("stacked_out", out)
@@ -127,9 +204,7 @@ class StackedEmbedding(nn.Module):
         """Embed `ids` (any shape) using `field_name`'s table slice."""
         g = self._group_of[field_name]
         rows = ids.astype(jnp.int32) + self._offset_in[field_name]
-        return embedding_kernels.packed_gather(
-            self.tables[g], rows, self._packs[g], self.schema.embed_dim
-        )
+        return self._engine_gather(g, rows)
 
     def pooled_lookup(
         self, field_name: str, ids: jnp.ndarray, mask: jnp.ndarray,
@@ -143,7 +218,7 @@ class StackedEmbedding(nn.Module):
         kernel yet).
         """
         g = self._group_of[field_name]
-        if self._packs[g] == 1 and ids.ndim == 2:
+        if self.engine == "gather" and self._packs[g] == 1 and ids.ndim == 2:
             from recsys_tpu.kernels import dispatch
 
             rows = ids.astype(jnp.int32) + self._offset_in[field_name]

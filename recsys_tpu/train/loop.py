@@ -131,6 +131,9 @@ class Trainer:
         # plain dict so the pytree TYPE matches what model.apply(mutable=...)
         # returns from the train step (flax emits plain dicts)
         batch_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+        # explicit a2a embedding engines sow per-step dropped-id counters;
+        # their presence at init tells the fit loop to surface them
+        self._a2a_active = "a2a_stats" in variables
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -209,6 +212,15 @@ class Trainer:
     def _build_steps(self):
         model, loss_fn, tx = self.model, self.loss_fn, self.tx
 
+        def _a2a_dropped(updates):
+            """Total dropped-id count sown by a2a engines this step (0 if
+            the model has none)."""
+            leaves = jax.tree_util.tree_leaves(updates.get("a2a_stats", {}))
+            total = jnp.zeros((), jnp.int32)
+            for leaf in leaves:
+                total = total + jnp.asarray(leaf, jnp.int32)
+            return total
+
         def dense_train_step(state: TrainState, batch: dict, rng):
             def compute_loss(params):
                 variables = {"params": params, "batch_stats": state.batch_stats}
@@ -217,13 +229,14 @@ class Trainer:
                     batch,
                     training=True,
                     rngs={"dropout": rng},
-                    mutable=["batch_stats"],
+                    mutable=["batch_stats", "a2a_stats"],
                 )
-                return loss_fn(outputs, batch), updates.get(
-                    "batch_stats", state.batch_stats
+                new_stats = updates.get("batch_stats", state.batch_stats)
+                return loss_fn(outputs, batch), (
+                    new_stats, _a2a_dropped(updates)
                 )
 
-            (loss, new_stats), grads = jax.value_and_grad(
+            (loss, (new_stats, dropped)), grads = jax.value_and_grad(
                 compute_loss, has_aux=True
             )(state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -234,7 +247,7 @@ class Trainer:
                 batch_stats=new_stats,
                 opt_state=new_opt,
             )
-            return new_state, loss
+            return new_state, loss, dropped
 
         def sparse_train_step(state: TrainState, batch: dict, rng):
             """Tables are NOT differentiated: the loss is taken w.r.t. the
@@ -263,13 +276,14 @@ class Trainer:
                     batch,
                     training=True,
                     rngs={"dropout": rng},
-                    mutable=["batch_stats"],
+                    mutable=["batch_stats", "a2a_stats"],
                 )
-                return loss_fn(outputs, batch), updates.get(
-                    "batch_stats", state.batch_stats
+                new_stats = updates.get("batch_stats", state.batch_stats)
+                return loss_fn(outputs, batch), (
+                    new_stats, _a2a_dropped(updates)
                 )
 
-            (loss, new_stats), (grest, gpert) = jax.value_and_grad(
+            (loss, (new_stats, dropped)), (grest, gpert) = jax.value_and_grad(
                 compute_loss, argnums=(0, 1), has_aux=True
             )(rest, pert_tree)
             updates, new_dense = tx.update(
@@ -293,7 +307,7 @@ class Trainer:
                 batch_stats=new_stats,
                 opt_state={"dense": new_dense, "emb": new_emb},
             )
-            return new_state, loss
+            return new_state, loss, dropped
 
         train_step = (
             sparse_train_step
@@ -316,7 +330,7 @@ class Trainer:
             self._train_step = jax.jit(
                 train_step,
                 donate_argnums=(0,),
-                out_shardings=(state_sh, loss_sh),
+                out_shardings=(state_sh, loss_sh, loss_sh),
             )
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
@@ -406,14 +420,20 @@ class Trainer:
             # assembly overlaps via the prefetch thread; the device transfer
             # stays on the main thread (a worker-thread device_put measured
             # SLOWER here — PJRT client contention).
-            total, count = None, 0
+            total, count, dropped_total = None, 0, None
             for batch in prefetch(
                 self._batches(train_data, batch_size, True, True)
             ):
                 self.rng, step_rng = jax.random.split(self.rng)
                 db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
-                self.state, loss = self._train_step(self.state, db, step_rng)
+                self.state, loss, dropped = self._train_step(
+                    self.state, db, step_rng
+                )
                 total = loss if total is None else total + loss
+                dropped_total = (
+                    dropped if dropped_total is None
+                    else dropped_total + dropped
+                )
                 count += 1
                 if log_every and count % log_every == 0 and verbose:
                     # explicit sync point, only when step logging is on
@@ -422,6 +442,14 @@ class Trainer:
             history["loss"].append(train_loss)
 
             msg = f"epoch {epoch + 1}/{epochs} loss={train_loss:.5f}"
+            if getattr(self, "_a2a_active", False):
+                # capacity-overflow observability for the explicit a2a
+                # embedding engines: ids dropped this epoch (0 = healthy;
+                # raise capacity_factor or set None for the exact mode)
+                n_drop = int(dropped_total) if count else 0
+                history.setdefault("a2a_dropped", []).append(n_drop)
+                if n_drop:
+                    msg += f" a2a_dropped={n_drop}"
             if val_data is not None:
                 val_loss = self.evaluate_loss(val_data, batch_size)
                 history["val_loss"].append(val_loss)

@@ -100,8 +100,8 @@ def test_lazy_adam_first_step_matches_dense_adam():
         lambda x: jnp.array(x, copy=True), dense.state.params))
     db = {k: jnp.asarray(v) for k, v in batch.items()}
     rng = jax.random.PRNGKey(0)
-    s1, l1 = dense._train_step(dense.state, db, rng)
-    s2, l2 = sparse._train_step(sparse.state, db, rng)
+    s1, l1, _ = dense._train_step(dense.state, db, rng)
+    s2, l2, _ = sparse._train_step(sparse.state, db, rng)
     assert float(l1) == pytest.approx(float(l2), rel=1e-6)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
