@@ -249,13 +249,26 @@ def run_match(args):
 
         keep = train["label"] > 0.5
         train = {k: v[keep] for k, v in train.items()}
+        # logQ correction: in-batch negatives are implicitly drawn from the
+        # item-popularity distribution; subtracting log q(item) stops
+        # popular items being over-penalised as negatives (default on;
+        # --no-logq restores the uncorrected objective)
+        log_q = None
+        if args.logq:
+            counts = np.bincount(
+                train["item_sparse"][:, 0],
+                minlength=item_schema.sparse[0].vocab_size,
+            )
+            log_q = jnp.asarray(losses_lib.popularity_log_q(counts))
 
         def loss_fn(out, batch):
             u = out["user"] / jnp.maximum(
                 jnp.linalg.norm(out["user"], axis=-1, keepdims=True), 1e-8)
             i = out["item"] / jnp.maximum(
                 jnp.linalg.norm(out["item"], axis=-1, keepdims=True), 1e-8)
-            return losses_lib.in_batch_sampled_softmax(u, i, temperature=0.1)
+            lq = None if log_q is None else log_q[batch["item_sparse"][:, 0]]
+            return losses_lib.in_batch_sampled_softmax(
+                u, i, item_log_q=lq, temperature=0.1)
 
         tr = Trainer(model, loss_fn=loss_fn, learning_rate=args.lr)
         tr.fit(train, batch_size=args.batch_size or 512, epochs=args.epochs)
@@ -399,8 +412,17 @@ def run_seq_retrieval(args):
         )
         model = YoutubeDNN(schema, num_items=ni, embed_dim=args.embed_dim * 4)
 
+    # logQ correction from the train stream's empirical item popularity
+    # (ids are 1-based, 0 = pad — counts indexed by raw id)
+    log_q = None
+    if args.logq:
+        counts = np.bincount(train["item_id"], minlength=ni)
+        log_q = jnp.asarray(losses.popularity_log_q(counts))
+
     def loss_fn(out, batch):
-        return losses.in_batch_sampled_softmax(out["user"], out["item"])
+        lq = None if log_q is None else log_q[batch["item_id"]]
+        return losses.in_batch_sampled_softmax(
+            out["user"], out["item"], item_log_q=lq)
 
     tr = Trainer(model, loss_fn=loss_fn, learning_rate=args.lr)
     tr.fit(train, batch_size=args.batch_size or 256, epochs=args.epochs,
@@ -417,8 +439,6 @@ def run_seq_retrieval(args):
         u = model.apply(variables, {"hist": jnp.asarray(test["hist"])},
                         method=model.user_embed)
         _, I = topk_scores(u, items, k=10)
-    import numpy as np
-
     r = recall_at_k(np.asarray(I), test["item_id"])
     print(f"recall@10: {r:.4f} over {ni} items (random {10 / ni:.4f})")
 
@@ -459,6 +479,9 @@ def main(argv=None):
                    help="MXU-native bf16 compute (DLRM)")
     p.add_argument("--retrieval-loss", choices=["softmax", "bce"],
                    default="softmax")
+    p.add_argument("--no-logq", dest="logq", action="store_false",
+                   help="disable the logQ popularity correction in the "
+                        "in-batch softmax retrieval losses")
     p.add_argument("--sasrec-prefix", action="store_true",
                    help="exploded-prefix training instead of all-position")
     args = p.parse_args(argv)

@@ -2,18 +2,29 @@
 
 The reference comments its ModelCheckpoint blocks out everywhere
 (/root/reference/src/ctr/fm/train.py:52-55 etc.); this provides real
-checkpointing: the full TrainState pytree (params, batch_stats, opt_state,
-step) serialised with flax msgpack.  Sharded arrays are gathered to host on
-save and re-sharded by the caller's device_put on restore — table-shard
-parallel save is layered on top in recsys_tpu/parallel for the sharded
-embedding engine.
+checkpointing in two forms:
+
+* :func:`save` / :func:`restore` — the whole TrainState pytree gathered to
+  host and serialised with flax msgpack.  Simple, adequate while every
+  param fits one host.
+* :func:`save_sharded` / :func:`restore_sharded` — shard-parallel
+  checkpointing for the model-axis story: each process writes only the
+  array SHARDS it owns (replica 0 of each distinct block), and restore
+  device_puts blocks straight into the target sharded layout via
+  ``jax.make_array_from_single_device_arrays``.  No step ever materialises
+  a full table on any single host — the property that matters once tables
+  are row-sharded precisely because they don't fit one chip (or one host).
+  This is the Orbax-style host-parallel save SURVEY.md §5's checkpoint row
+  calls for, self-contained.
 """
 from __future__ import annotations
 
+import json
 import os
 
 import flax.serialization
 import jax
+import numpy as np
 
 
 def save(path: str, state) -> None:
@@ -29,12 +40,138 @@ def restore(path: str, template):
         return flax.serialization.from_bytes(template, f.read())
 
 
-class BestCheckpointer:
-    """Keeps the best-metric checkpoint on disk (lower is better by default)."""
+# -- shard-parallel checkpointing ------------------------------------------
 
-    def __init__(self, path: str, mode: str = "min"):
+def _norm_index(index, shape):
+    """Normalise a shard index (tuple of slices) to [[start, stop], ...]."""
+    out = []
+    for sl, dim in zip(index, shape):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = dim if sl.stop is None else int(sl.stop)
+        out.append([start, stop])
+    return out
+
+
+def save_sharded(path: str, state) -> None:
+    """Write this process's addressable shards of ``state`` under ``path``.
+
+    Every process calls this with the same directory (a shared filesystem,
+    as usual for checkpoints).  Each distinct block of each array is saved
+    exactly once across the job — by the process holding its replica-0
+    shard — as a shard-sized npz entry; a per-process JSON manifest records
+    which leaf and which index range each entry covers.  Peak host memory
+    is ONE SHARD, never a full array.
+    """
+    os.makedirs(path, exist_ok=True)
+    proc = jax.process_index()
+    leaves = jax.tree_util.tree_leaves(state)
+    manifest = []
+    blocks = {}
+    for i, leaf in enumerate(leaves):
+        if not isinstance(leaf, jax.Array):
+            arr = np.asarray(leaf)
+            if proc == 0:
+                key = f"b{i}_0"
+                blocks[key] = arr
+                manifest.append({
+                    "leaf": i, "key": key,
+                    "index": _norm_index((slice(None),) * arr.ndim,
+                                         arr.shape),
+                })
+            continue
+        for j, shard in enumerate(leaf.addressable_shards):
+            if shard.replica_id != 0:
+                continue  # another device/process owns this block's copy
+            key = f"b{i}_{j}"
+            blocks[key] = np.asarray(shard.data)
+            manifest.append({
+                "leaf": i, "key": key,
+                "index": _norm_index(shard.index, leaf.shape),
+            })
+    np.savez(os.path.join(path, f"shards_p{proc}.npz"), **blocks)
+    with open(os.path.join(path, f"manifest_p{proc}.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def restore_sharded(path: str, template):
+    """Restore a :func:`save_sharded` checkpoint into ``template``'s
+    structure AND sharded layout.
+
+    ``template`` is an initialised state (e.g. from ``Trainer.init``) whose
+    array leaves carry the target shardings.  For each leaf, each local
+    device receives exactly the block its sharding assigns it —
+    device_put of one shard at a time, assembled with
+    ``jax.make_array_from_single_device_arrays``; the full array is never
+    formed on host.
+    """
+    manifests = []
+    files = {}
+    for name in sorted(os.listdir(path)):
+        if name.startswith("manifest_p"):
+            with open(os.path.join(path, name)) as f:
+                part = json.load(f)
+            proc = name[len("manifest_p"):-len(".json")]
+            npz = np.load(os.path.join(path, f"shards_p{proc}.npz"))
+            files[proc] = npz
+            for entry in part:
+                entry["proc"] = proc
+            manifests.extend(part)
+
+    by_leaf: dict[int, list[dict]] = {}
+    for entry in manifests:
+        by_leaf.setdefault(entry["leaf"], []).append(entry)
+
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    out = []
+    for i, leaf in enumerate(leaves):
+        entries = by_leaf.get(i)
+        if entries is None:
+            raise ValueError(f"checkpoint at {path!r} has no data for "
+                             f"leaf {i} (structure mismatch?)")
+
+        def block_for(index_norm):
+            for e in entries:
+                if e["index"] == index_norm:
+                    return files[e["proc"]][e["key"]]
+            raise ValueError(
+                f"leaf {i}: no saved block covers index {index_norm} "
+                f"(mesh/sharding changed since save?)"
+            )
+
+        if not isinstance(leaf, jax.Array):
+            arr = np.asarray(leaf)
+            out.append(
+                block_for(_norm_index((slice(None),) * arr.ndim, arr.shape))
+                .astype(arr.dtype)
+            )
+            continue
+        sharding = leaf.sharding
+        shape = leaf.shape
+        idx_map = sharding.addressable_devices_indices_map(shape)
+        shards = [
+            jax.device_put(
+                block_for(_norm_index(index, shape)).astype(leaf.dtype),
+                device,
+            )
+            for device, index in idx_map.items()
+        ]
+        out.append(jax.make_array_from_single_device_arrays(
+            shape, sharding, shards
+        ))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+class BestCheckpointer:
+    """Keeps the best-metric checkpoint on disk (lower is better by default).
+
+    ``sharded=True`` uses the shard-parallel writer (``path`` becomes a
+    directory) — the right mode whenever the Trainer runs with a model
+    axis."""
+
+    def __init__(self, path: str, mode: str = "min", sharded: bool = False):
         self.path = path
         self.mode = mode
+        self.sharded = sharded
         self.best: float | None = None
 
     def update(self, metric: float, state) -> bool:
@@ -45,5 +182,8 @@ class BestCheckpointer:
         )
         if better:
             self.best = metric
-            save(self.path, state)
+            if self.sharded:
+                save_sharded(self.path, state)
+            else:
+                save(self.path, state)
         return better

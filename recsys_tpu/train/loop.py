@@ -64,16 +64,17 @@ class Trainer:
         # sparse embedding path's lazy decay: decay-before-Adam would be
         # coupled L2 and a DIFFERENT regulariser for dense vs table params
         if weight_decay > 0.0:
-            if optimizer is None:
-                self.tx = optax.adamw(
-                    learning_rate, weight_decay=weight_decay
+            if optimizer is not None:
+                # scaling the decay by the Trainer's learning_rate would
+                # silently diverge from a custom optimizer's own LR or
+                # schedule — the caller must bake decay into the optimizer
+                raise ValueError(
+                    "weight_decay with a custom optimizer is ambiguous "
+                    "(the Trainer cannot know the optimizer's update "
+                    "scale); use optax.adamw / optax.add_decayed_weights "
+                    "inside the optimizer instead"
                 )
-            else:
-                # post-scale decay: updates are already -lr-scaled here
-                self.tx = optax.chain(
-                    optimizer,
-                    optax.add_decayed_weights(-learning_rate * weight_decay),
-                )
+            self.tx = optax.adamw(learning_rate, weight_decay=weight_decay)
         else:
             self.tx = optimizer or optax.adam(learning_rate)
         self.weight_decay = weight_decay
@@ -508,35 +509,83 @@ class Trainer:
         return history
 
     def evaluate_loss(self, data: dict, batch_size: int = 4096) -> float:
-        """Loss over the WHOLE dataset, computed from predict()'s outputs.
+        """Mean loss over the WHOLE dataset, accumulated ON DEVICE per
+        batch — one scalar crosses to the host at the end, and no buffer
+        ever holds more than one batch (eval sets larger than device
+        memory stream through, like the AUC histogram path).
 
-        predict's pad-and-mask batching keeps every device batch at the
-        full (mesh-divisible) batch size, so the remainder can't crash a
-        sharded run (an exact-size tail batch is generally not divisible
-        by the data axis), and applying ``loss_fn`` once over the full
-        outputs weights every example exactly once."""
-        outputs = self.predict(data, batch_size)
-        outputs = jax.tree_util.tree_map(jnp.asarray, outputs)
-        device_data = {
-            k: jnp.asarray(v) for k, v in data.items()
-            if not k.startswith("_")
-        }
-        return float(self.loss_fn(outputs, device_data))
+        Every device batch keeps the full (mesh-divisible) batch size; the
+        tail batch is padded by repeating its last example.  Exactness on
+        the tail: for any ``loss_fn`` that is a mean of per-example terms
+        (every loss in train/losses.py except the in-batch softmax family),
+        ``sum_valid = L_pad * B - pad * L_tile`` where ``L_tile`` is the
+        loss of a batch holding ONLY the repeated example — both terms
+        share one compiled shape, so the tail costs no recompile.  For
+        batch-coupled losses (in-batch negatives) the tail term is an
+        estimate, as it is under any batching."""
+        if self._eval_step is None:
+            self._build_steps()
+        if not hasattr(self, "_loss_step"):
+            model, loss_fn = self.model, self.loss_fn
 
-    def predict(self, data: dict, batch_size: int = 4096):
-        """Forward pass over a dataset; returns stacked outputs (pytree)."""
+            @jax.jit
+            def loss_step(state, batch):
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                outputs = model.apply(variables, batch, training=False)
+                return loss_fn(outputs, batch)
+
+            self._loss_step = loss_step
+
+        from recsys_tpu.data.prefetch import prefetch
+
+        total, n = None, 0
+        for batch in prefetch(self._batches(data, batch_size, False, False)):
+            valid = batch.pop("_valid", None)
+            db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
+            n_valid = batch_size if valid is None else int(valid.sum())
+            part = self._loss_step(self.state, db) * batch_size
+            if n_valid < batch_size:
+                tiled = jax.tree_util.tree_map(
+                    lambda a: jnp.broadcast_to(a[-1:], a.shape), db
+                )
+                part = part - self._loss_step(self.state, tiled) * (
+                    batch_size - n_valid
+                )
+            total = part if total is None else total + part
+            n += n_valid
+        return float(total) / n if n else 0.0
+
+    def predict(self, data: dict, batch_size: int = 4096,
+                consumer: Callable | None = None):
+        """Forward pass over a dataset; returns stacked outputs (pytree).
+
+        ``consumer(outputs, start)`` — if given, each batch's host outputs
+        (padding rows already dropped; ``start`` is the dataset offset) are
+        handed over as they arrive and nothing is accumulated (returns
+        None).  The memory-bounded path for catalog-scale prediction."""
         if self._eval_step is None:
             self._build_steps()
         from recsys_tpu.data.prefetch import prefetch
 
-        outs, valids = [], []
+        outs, valids, start = [], [], 0
         for batch in prefetch(self._batches(data, batch_size, False, False)):
             valid = batch.pop("_valid", None)
             db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
-            outs.append(jax.device_get(self._eval_step(self.state, db)))
+            out = jax.device_get(self._eval_step(self.state, db))
+            if consumer is not None:
+                if valid is not None:
+                    m = valid.astype(bool)
+                    out = jax.tree_util.tree_map(lambda a: a[m], out)
+                consumer(out, start)
+                start += batch_size if valid is None else int(valid.sum())
+                continue
+            outs.append(out)
             valids.append(
                 np.ones(batch_size) if valid is None else valid
             )
+        if consumer is not None:
+            return None
         mask = np.concatenate(valids).astype(bool)
         return jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs, axis=0)[mask], *outs

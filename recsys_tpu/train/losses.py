@@ -79,19 +79,42 @@ def in_batch_sampled_softmax(
     )
 
 
-def log_uniform_candidates(rng, num_items: int, shape):
+def log_uniform_candidates(rng, num_items: int, shape, offset: int = 0):
     """Log-uniform (Zipfian) negative ids + their log sampling probability.
 
     The distribution behind TF's LogUniformCandidateSampler (what
     tf.nn.sampled_softmax_loss samples from when ids are sorted by
     frequency): P(k) = log(1 + 1/(k+1)) / log(num_items + 1).  Returns
     (ids int32, log_p float32) of the given shape.
+
+    ID convention: the base ids are 0-based and assume the catalog is
+    sorted by DESCENDING frequency (id 0 = most popular) — rank-in-
+    popularity, not raw catalog id.  The sequence/item datasets in this
+    repo use 1-based ids with 0 reserved for padding (data/movielens.py
+    builders); pass ``offset=1`` for those catalogs so the sampler never
+    emits the pad row and accidental-hit masking stays aligned.
     """
     u = jax.random.uniform(rng, shape)
     ids = (jnp.exp(u * jnp.log(num_items + 1.0)) - 1.0).astype(jnp.int32)
     ids = jnp.clip(ids, 0, num_items - 1)
     log_p = jnp.log1p(1.0 / (ids + 1.0)) - jnp.log(num_items + 1.0)
-    return ids, log_p
+    return ids + offset, log_p
+
+
+def popularity_log_q(counts: jnp.ndarray, smoothing: float = 1.0):
+    """Per-item log sampling probability from empirical frequency counts.
+
+    ``counts`` (V,) — how often each item id appears as a POSITIVE in the
+    training stream (the distribution in-batch negatives are implicitly
+    drawn from).  Returns log((counts + smoothing) / total) as float32 —
+    the ``item_log_q`` table for :func:`in_batch_sampled_softmax`:
+    subtracting it from the logits stops popular items being over-penalised
+    just for showing up as negatives often (the logQ-corrected sampled
+    softmax; SURVEY.md §2.5 sampled-softmax row).  Index it with the
+    batch's item ids: ``in_batch_sampled_softmax(u, i, log_q[item_ids])``.
+    """
+    counts = jnp.asarray(counts, jnp.float32) + smoothing
+    return jnp.log(counts) - jnp.log(jnp.sum(counts))
 
 
 def sampled_softmax(

@@ -1,0 +1,56 @@
+"""Multi-host (multi-process) mesh execution — VERDICT round-1 #8.
+
+Spawns two localhost CPU processes (4 virtual devices each), initialises
+jax.distributed, builds the hybrid DCN/ICI mesh via
+make_multihost_mesh(model=2) — exercising the process_is_granule n_proc>1
+branch of parallel/mesh.py — and runs one full Trainer epoch through both
+the compiler-partitioned and the explicit a2a embedding engines."""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "assets",
+                      "multihost_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_mesh_trains_both_engines():
+    port = _free_port()
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=REPO,
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    # both processes computed the same loss for each engine
+    losses = {}
+    for out in outs:
+        for m in re.finditer(
+            r"RESULT proc=(\d) engine=(\w+) loss=([0-9.]+)", out
+        ):
+            losses.setdefault(m.group(2), set()).add(m.group(3))
+    assert set(losses) == {"gather", "a2a"}, losses
+    for engine, vals in losses.items():
+        assert len(vals) == 1, (engine, vals)  # procs agree bit-for-bit
