@@ -222,7 +222,18 @@ def main(argv=None):
 
     p = argparse.ArgumentParser()
     p.add_argument("--model", choices=["dlrm", "sasrec"], default="dlrm")
+    p.add_argument(
+        "--breakdown", action="store_true",
+        help="per-phase device timings + HBM/MXU speed-of-light roofline "
+        "for the DLRM step (tools/roofline); prints the breakdown JSON "
+        "instead of the headline line",
+    )
     args = p.parse_args(argv)
+    if args.breakdown:
+        from recsys_tpu.tools import roofline
+
+        roofline.main(["--batch", str(BATCH)])
+        return
     rng = np.random.default_rng(0)
     if args.model == "sasrec":
         maxlen = 512  # flash-attention regime (auto threshold S>=512)

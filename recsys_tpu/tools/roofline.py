@@ -1,0 +1,316 @@
+"""Per-phase speed-of-light accounting for the DLRM bench step.
+
+Decomposes the benched DLRM train step (bench.py shapes: B=16384, 26x100k
+vocab, D=16, packed rows, bf16 dense compute) into its four device phases,
+times each in isolation with scan-chained jits (the chain defeats async
+dispatch; one scalar fetch bounds the dependency chain — the only reliable
+sync on the tunnelled chip), and compares each phase against an analytic
+roofline bound built from published chip specs:
+
+    phase        bound
+    ------------ -------------------------------------------------------
+    gather       HBM: B*F physical-row reads (512 B each, packed layout)
+    dense        MXU: 3x fwd matmul FLOPs (fwd + dgrad + wgrad), bf16
+    scatter      HBM: cotangent read + expected-unique-row RMW
+    update       HBM: dense Adam on tables = 7x table bytes (p/m/v RW + g R)
+
+The reference publishes no perf numbers (SURVEY.md §6); the roofline is the
+absolute yardstick instead.  Run:
+
+    python -m recsys_tpu.tools.roofline [--batch 16384] [--iters 30]
+
+Prints a human table on stderr and one JSON object on stdout.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from recsys_tpu.kernels.embedding import pack_factor, packed_gather, packed_select
+
+# Published peaks.  v5e: 197 TFLOP/s bf16, 819 GB/s HBM (16 GB).
+SPECS = {
+    "TPU v5 lite": {"bf16_flops": 197e12, "hbm_bw": 819e9},
+    "TPU v4": {"bf16_flops": 275e12, "hbm_bw": 1228e9},
+    "TPU v5p": {"bf16_flops": 459e12, "hbm_bw": 2765e9},
+    "TPU v6 lite": {"bf16_flops": 918e12, "hbm_bw": 1640e9},
+}
+
+VOCAB = 100_000
+NUM_SPARSE = 26
+NUM_DENSE = 13
+EMBED_DIM = 16
+BOTTOM = (512, 256)
+TOP = (1024, 1024, 512, 256)
+
+
+def _specs():
+    kind = jax.devices()[0].device_kind
+    for prefix, s in SPECS.items():
+        if kind.startswith(prefix):
+            return kind, s
+    return kind, None
+
+
+def _fetch(tree):
+    """Pull one element to host — bounds the whole dependency chain."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
+def time_chained(fn, carry, iters: int, warmup: int = 1) -> float:
+    """ms per call of carry->carry `fn`, chained through lax.scan."""
+    many = jax.jit(
+        lambda c: lax.scan(lambda c, _: (fn(c), None), c, None, length=iters)[0]
+    )
+    for _ in range(warmup):
+        out = many(carry)
+        _fetch(out)
+    t0 = time.perf_counter()
+    out = many(carry)
+    _fetch(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _opaque_zero_i32(s: jnp.ndarray) -> jnp.ndarray:
+    """An int32 zero XLA cannot constant-fold (s is nonneg at runtime)."""
+    return jnp.minimum(s.astype(jnp.int32), 0)
+
+
+def build_phases(batch: int, rng: np.random.Generator):
+    """Returns {phase: (fn, carry)} + analytic {phase: (bytes, flops)}."""
+    pack = pack_factor(EMBED_DIM, VOCAB)  # 8 at D=16
+    v_phys = -(-VOCAB // pack)
+    v_phys += (-v_phys) % 8  # _pad8
+    wide = pack * EMBED_DIM  # 128 lanes
+
+    keys = jax.random.split(jax.random.PRNGKey(0), NUM_SPARSE)
+    tables = [
+        jax.random.uniform(k, (v_phys, wide), minval=-0.05, maxval=0.05)
+        for k in keys
+    ]
+    ids = jnp.asarray(
+        rng.integers(0, VOCAB, (batch, NUM_SPARSE), dtype=np.int64).astype(np.int32)
+    )
+    dense_x = jnp.asarray(rng.random((batch, NUM_DENSE), np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, batch).astype(np.float32))
+    embs = jnp.asarray(rng.standard_normal((batch, NUM_SPARSE, EMBED_DIM)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((batch, NUM_SPARSE, EMBED_DIM)), jnp.float32)
+
+    # ---- phase 1: gather (fwd packed lookup of all 26 fields) -------------
+    def gather_fn(s):
+        shift = _opaque_zero_i32(s)
+        total = 0.0
+        for g in range(NUM_SPARSE):
+            rows = ids[:, g] + shift
+            w = jnp.take(tables[g], rows // pack, axis=0)
+            total = total + jnp.sum(packed_select(w, rows, pack, EMBED_DIM))
+        return jnp.abs(jnp.tanh(total * 1e-12))
+
+    # ---- phase 2: dense tail fwd + bwd (bf16, DLRM math minus embedding) --
+    from recsys_tpu.kernels import dispatch as ikernels
+    from recsys_tpu.ops.mlp import MLP
+
+    import flax.linen as nn
+
+    class DenseTail(nn.Module):
+        @nn.compact
+        def __call__(self, dense, e):
+            z = MLP(BOTTOM, out_dim=EMBED_DIM, dtype=jnp.bfloat16)(dense)
+            feats = jnp.concatenate(
+                [z[:, None, :], e.astype(jnp.bfloat16)], axis=1
+            )
+            inter = ikernels.dot_interaction(feats)
+            logits = MLP(TOP, out_dim=1, dtype=jnp.bfloat16)(
+                jnp.concatenate([z, inter], axis=-1)
+            )[..., 0]
+            return logits.astype(jnp.float32)
+
+    tail = DenseTail()
+    dense_params = tail.init(jax.random.PRNGKey(1), dense_x, embs)["params"]
+
+    def dense_fn(p):
+        def loss(p, e):
+            logits = tail.apply({"params": p}, dense_x, e)
+            return jnp.mean(
+                optax.sigmoid_binary_cross_entropy(logits, labels)
+            )
+
+        (gp, ge) = jax.grad(loss, argnums=(0, 1))(p, embs)
+        # consume d(loss)/d(embeddings) — part of the real backward
+        eps = 1e-30 * jnp.sum(ge)
+        return jax.tree_util.tree_map(lambda a, g: a - 1e-30 * g - eps, p, gp)
+
+    # ---- phase 3: scatter (backward of the packed gather) -----------------
+    def scatter_fn(ts):
+        def consume(ts):
+            total = 0.0
+            for g in range(NUM_SPARSE):
+                e = packed_gather(ts[g], ids[:, g], pack, EMBED_DIM)
+                total = total + jnp.sum(e * cot[:, g, :])
+            return total
+
+        grads = jax.grad(consume)(ts)  # scatter-adds; fwd gather is DCE'd
+        return [t - 1e-30 * gt for t, gt in zip(ts, grads)]
+
+    # ---- phase 4: dense Adam update of the tables --------------------------
+    tx = optax.adam(1e-3)
+    grads_fixed = [
+        jax.random.normal(k, (v_phys, wide)) * 1e-3 for k in keys
+    ]
+    upd_carry = (list(tables), tx.init(list(tables)))
+
+    def update_fn(carry):
+        params, opt = carry
+        upd, opt = tx.update(grads_fixed, opt, params)
+        return (optax.apply_updates(params, upd), opt)
+
+    phases = {
+        "gather": (gather_fn, jnp.float32(0.5)),
+        "dense": (dense_fn, dense_params),
+        "scatter": (scatter_fn, list(tables)),
+        "update": (update_fn, upd_carry),
+    }
+
+    # ---- analytic bytes / flops -------------------------------------------
+    table_bytes = NUM_SPARSE * v_phys * wide * 4
+    row_bytes = wide * 4  # one physical row = 512 B
+    lookups = batch * NUM_SPARSE
+    # expected unique physical rows touched per table by `batch` uniform ids
+    uniq = v_phys * (1.0 - (1.0 - 1.0 / v_phys) ** batch)
+
+    def mlp_flops(in_dim, units, out_dim):
+        dims = [in_dim, *units, out_dim]
+        return 2 * batch * sum(a * b for a, b in zip(dims, dims[1:]))
+
+    f = NUM_SPARSE + 1
+    n_inter = f * (f - 1) // 2
+    fwd_flops = (
+        mlp_flops(NUM_DENSE, BOTTOM, EMBED_DIM)
+        + 2 * batch * f * f * EMBED_DIM  # dot-interaction gram
+        + mlp_flops(EMBED_DIM + n_inter, TOP, 1)
+    )
+    analytic = {
+        "gather": {"bytes": lookups * row_bytes, "flops": 0},
+        "dense": {"bytes": 0, "flops": 3 * fwd_flops},  # fwd + dgrad + wgrad
+        "scatter": {
+            # wide-spread cotangent read + read-modify-write of touched rows
+            "bytes": int(lookups * row_bytes + 2 * NUM_SPARSE * uniq * row_bytes),
+            "flops": 0,
+        },
+        "update": {"bytes": 7 * table_bytes, "flops": 0},
+    }
+    return phases, analytic
+
+
+def full_step_ms(batch: int, rng: np.random.Generator, iters: int) -> float:
+    """The actual bench step (framework DLRM, bf16, donated), scan-chained."""
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.train.losses import bce_with_logits
+
+    schema, _ = synthetic_ctr(
+        num_examples=8, num_dense=NUM_DENSE, num_sparse=NUM_SPARSE,
+        vocab_size=VOCAB, embed_dim=EMBED_DIM,
+    )
+    model = DLRM(schema, bottom_units=(*BOTTOM, EMBED_DIM),
+                 top_units=TOP, compute_dtype=jnp.bfloat16)
+    b = {
+        "dense": jnp.asarray(rng.random((batch, NUM_DENSE), np.float32)),
+        "sparse": jnp.asarray(
+            rng.integers(0, VOCAB, (batch, NUM_SPARSE), dtype=np.int64).astype(np.int32)
+        ),
+        "label": jnp.asarray(rng.integers(0, 2, batch).astype(np.float32)),
+    }
+    params = model.init(jax.random.PRNGKey(0), b, training=False)["params"]
+    tx = optax.adam(1e-3)
+
+    def step(state):
+        params, opt = state
+
+        def loss_fn(p):
+            return bce_with_logits(
+                model.apply({"params": p}, b, training=False), b["label"]
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, upd), opt)
+
+    return time_chained(step, (params, tx.init(params)), iters)
+
+
+def run(batch: int, iters: int) -> dict:
+    kind, spec = _specs()
+    rng = np.random.default_rng(0)
+    phases, analytic = build_phases(batch, rng)
+    report = {"device": kind, "batch": batch, "phases": {}}
+
+    for name, (fn, carry) in phases.items():
+        ms = time_chained(fn, carry, iters)
+        entry = {"ms": round(ms, 3)}
+        a = analytic[name]
+        if spec is not None:
+            bw_ms = a["bytes"] / spec["hbm_bw"] * 1e3
+            fl_ms = a["flops"] / spec["bf16_flops"] * 1e3
+            sol = max(bw_ms, fl_ms)
+            entry.update(
+                sol_ms=round(sol, 3),
+                pct_sol=round(100 * sol / ms, 1),
+                bound="hbm" if bw_ms >= fl_ms else "mxu",
+                gb=round(a["bytes"] / 1e9, 3),
+                gflops=round(a["flops"] / 1e9, 1),
+            )
+        report["phases"][name] = entry
+
+    total_ms = full_step_ms(batch, rng, iters)
+    phase_sum = sum(p["ms"] for p in report["phases"].values())
+    report["full_step_ms"] = round(total_ms, 3)
+    report["phase_sum_ms"] = round(phase_sum, 3)
+    report["residual_ms"] = round(total_ms - phase_sum, 3)
+    if spec is not None:
+        sol_total = sum(p["sol_ms"] for p in report["phases"].values())
+        report["sol_step_ms"] = round(sol_total, 3)
+        report["pct_sol_step"] = round(100 * sol_total / total_ms, 1)
+        report["examples_per_s"] = round(batch / (total_ms / 1e3), 1)
+        report["sol_examples_per_s"] = round(batch / (sol_total / 1e3), 1)
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16384)
+    p.add_argument("--iters", type=int, default=30)
+    args = p.parse_args(argv)
+    rep = run(args.batch, args.iters)
+
+    w = sys.stderr.write
+    w(f"device={rep['device']} batch={rep['batch']}\n")
+    w(f"{'phase':<10}{'ms':>9}{'SoL ms':>9}{'% SoL':>8}  bound  traffic\n")
+    for name, e in rep["phases"].items():
+        if "sol_ms" in e:
+            traffic = f"{e['gb']} GB" if e["bound"] == "hbm" else f"{e['gflops']} GF"
+            w(f"{name:<10}{e['ms']:>9.3f}{e['sol_ms']:>9.3f}"
+              f"{e['pct_sol']:>8.1f}  {e['bound']:<5}  {traffic}\n")
+        else:
+            w(f"{name:<10}{e['ms']:>9.3f}\n")
+    w(f"full step {rep['full_step_ms']:.3f} ms; phase sum "
+      f"{rep['phase_sum_ms']:.3f} ms; residual {rep['residual_ms']:.3f} ms\n")
+    if "pct_sol_step" in rep:
+        w(f"step speed-of-light {rep['sol_step_ms']:.3f} ms -> "
+          f"{rep['pct_sol_step']:.1f}% of SoL "
+          f"({rep['examples_per_s']:.0f} vs {rep['sol_examples_per_s']:.0f} ex/s)\n")
+    print(json.dumps(rep))
+
+
+if __name__ == "__main__":
+    main()
