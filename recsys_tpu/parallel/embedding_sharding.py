@@ -272,7 +272,9 @@ def sharded_gather_a2a_pipelined(
     chunks' collectives data-independent of each other's compute, XLA's
     latency-hiding scheduler can run chunk k's return exchange while chunk
     k+1's local gather computes — the explicit overlap STATUS.md's round-1
-    gap called for.
+    gap called for.  The independence structure is PROVEN at the jaxpr
+    level by tests/test_pipeline_structure.py: each return exchange
+    transitively depends on its own id exchange only.
 
     Capacity: each chunk's owner buckets are sized from the UNCHUNKED id
     count — ``cap = a2a_capacity(n, S, capacity_factor)`` — so chunking can
