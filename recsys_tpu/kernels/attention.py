@@ -22,14 +22,20 @@ def sdpa(
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    *,
+    precision=None,
 ) -> jnp.ndarray:
     """Attention over the last two axes: (..., S_q, D) x (..., S_k, D).
 
     mask: broadcastable to (..., S_q, S_k); 1/True = attend, 0 = masked out.
+    precision: matmul precision for both einsums (None = TPU DEFAULT, bf16
+    MXU inputs with f32 accumulation — see the precision contract on
+    kernels/dispatch.sdpa).
     """
     d = q.shape[-1]
     logits = jnp.einsum(
-        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32,
+        precision=precision,
     ) / jnp.sqrt(jnp.asarray(d, jnp.float32))
     if mask is not None:
         logits = jnp.where(mask.astype(bool), logits, NEG_INF)
@@ -38,4 +44,4 @@ def sdpa(
     )
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
     weights = weights.astype(v.dtype)
-    return jnp.einsum("...qk,...kd->...qd", weights, v)
+    return jnp.einsum("...qk,...kd->...qd", weights, v, precision=precision)

@@ -129,30 +129,32 @@ def _full_mask(mask, q, k, causal):
     return m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _sdpa_pallas(q, k, v, mask, causal, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _sdpa_pallas(q, k, v, mask, causal, interpret, precision=None):
     from recsys_tpu.kernels.pallas.attention_tpu import flash_attention
 
-    return flash_attention(q, k, v, mask, causal=causal, interpret=interpret)
+    return flash_attention(q, k, v, mask, causal=causal, interpret=interpret,
+                           precision=precision)
 
 
-def _sdpa_fwd(q, k, v, mask, causal, interpret):
+def _sdpa_fwd(q, k, v, mask, causal, interpret, precision=None):
     from recsys_tpu.kernels.pallas.attention_tpu import flash_attention_fwd
 
     out, lse = flash_attention_fwd(
-        q, k, v, mask, causal=causal, interpret=interpret
+        q, k, v, mask, causal=causal, interpret=interpret, precision=precision
     )
     return out, (q, k, v, mask, out, lse)
 
 
-def _sdpa_bwd(causal, interpret, res, g):
+def _sdpa_bwd(causal, interpret, precision, res, g):
     # flash backward kernels: blockwise recompute from the saved logsumexp,
     # O(S) memory end to end
     from recsys_tpu.kernels.pallas.attention_tpu import flash_attention_bwd
 
     q, k, v, mask, out, lse = res
     dq, dk, dv = flash_attention_bwd(
-        q, k, v, mask, out, lse, g, causal=causal, interpret=interpret
+        q, k, v, mask, out, lse, g, causal=causal, interpret=interpret,
+        precision=precision,
     )
     return dq, dk, dv, None
 
@@ -161,13 +163,24 @@ _sdpa_pallas.defvjp(_sdpa_fwd, _sdpa_bwd)
 
 
 def sdpa(q, k, v, mask=None, *, causal: bool = False,
-         interpret: bool = False):
+         interpret: bool = False, precision=None):
     """Fused attention over (B, H, S, D); mask is a (B, Sk) key-padding mask
-    (1 = attend) or None."""
+    (1 = attend) or None.
+
+    Precision contract: ``precision=None`` (the default) runs every matmul —
+    in BOTH the flash kernel and the XLA fallback — at the TPU's DEFAULT
+    matmul precision (inputs rounded to bf16 on the MXU, f32 accumulation),
+    the same contract as every dense layer in the framework.  Because the
+    two paths order their bf16 roundings differently, their *gradients*
+    agree only to ~0.5%% relative at SASRec shapes (measured on v5e; both
+    are ~1e-6 vs float64 run at HIGHEST).  Pass
+    ``precision=jax.lax.Precision.HIGHEST`` to run the MXU in full-f32
+    passes: flash and XLA then agree to ~1e-6 at ~3x matmul cost."""
     big = q.shape[-2] * k.shape[-2] >= _FLASH_MIN_SCORES
     if (use_pallas() and big) or interpret:
-        return _sdpa_pallas(q, k, v, mask, causal, interpret)
-    return attn_ref.sdpa(q, k, v, _full_mask(mask, q, k, causal))
+        return _sdpa_pallas(q, k, v, mask, causal, interpret, precision)
+    return attn_ref.sdpa(q, k, v, _full_mask(mask, q, k, causal),
+                         precision=precision)
 
 
 # -- pooled embedding gather ------------------------------------------------

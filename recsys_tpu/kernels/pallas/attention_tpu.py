@@ -32,6 +32,7 @@ NEG_INF = -1e9
 def _flash_kernel(
     q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
     *, scale: float, causal: bool, blk_q: int, blk_k: int, sk: int,
+    precision,
 ):
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -69,7 +70,7 @@ def _flash_kernel(
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ) * scale  # (blk_q, blk_k)
 
         # mask block carries ALL bh rows (Mosaic tiling forbids a 1-row
@@ -98,7 +99,7 @@ def _flash_kernel(
         l_ref[:] = l_ref[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         m_ref[:] = m_new
 
@@ -114,7 +115,8 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret")
+    jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret",
+                          "precision")
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -126,12 +128,13 @@ def flash_attention(
     blk_q: int = 512,
     blk_k: int = 512,
     interpret: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
     """q (B, H, Sq, D), k/v (B, H, Sk, D), mask (B, Sk) key-padding
     (1 = attend).  Returns (B, H, Sq, D) in q's dtype."""
     out, _ = flash_attention_fwd(
         q, k, v, mask, causal=causal, blk_q=blk_q, blk_k=blk_k,
-        interpret=interpret,
+        interpret=interpret, precision=precision,
     )
     return out
 
@@ -156,11 +159,12 @@ def _params(interpret, semantics):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret")
+    jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret",
+                          "precision")
 )
 def flash_attention_fwd(
     q, k, v, mask=None, *, causal=False, blk_q=512, blk_k=512,
-    interpret=False,
+    interpret=False, precision=None,
 ):
     """Forward pass returning (out, lse) — lse (B, H, Sq) feeds the
     backward kernels."""
@@ -173,7 +177,7 @@ def flash_attention_fwd(
     out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, causal=causal,
-            blk_q=blk_q, blk_k=blk_k, sk=sk,
+            blk_q=blk_q, blk_k=blk_k, sk=sk, precision=precision,
         ),
         grid=grid,
         in_specs=[
@@ -215,14 +219,15 @@ def flash_attention_fwd(
 
 
 def _recompute_p(q, k, mask_row, lse, scale, causal, qb, kb,
-                 blk_q, blk_k, sk):
+                 blk_q, blk_k, sk, precision):
     """Shared backward helper: softmax probabilities for one (q, k) block."""
     k_ids_row = (
         jax.lax.broadcasted_iota(jnp.int32, (blk_k, 1), 0)[:, 0] + kb * blk_k
     )
     k_valid = k_ids_row < sk
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
     ) * scale  # (blk_q, blk_k)
     kmask = (mask_row > 0) & k_valid
     s = jnp.where(kmask[None, :].reshape(1, -1), s, NEG_INF)
@@ -245,7 +250,7 @@ def _recompute_p(q, k, mask_row, lse, scale, causal, qb, kb,
 
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref, delta_ref, dq_ref,
-    dq_acc, *, scale, causal, blk_q, blk_k, sk,
+    dq_acc, *, scale, causal, blk_q, blk_k, sk, precision,
 ):
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -271,15 +276,15 @@ def _flash_bwd_dq_kernel(
         delta = delta_ref[0]  # (blk_q, 1)
         row = mask_ref[pl.ds(g, 1), :][0]
         p, _ = _recompute_p(q, k, row, lse, scale, causal, qb, kb,
-                            blk_q, blk_k, sk)
+                            blk_q, blk_k, sk, precision)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # (blk_q, blk_k)
         ds = p * (dp - delta)
         dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ) * scale
 
     @pl.when(kb == nk - 1)
@@ -290,7 +295,7 @@ def _flash_bwd_dq_kernel(
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref, delta_ref,
     dk_ref, dv_ref, dk_acc, dv_acc,
-    *, scale, causal, blk_q, blk_k, sk,
+    *, scale, causal, blk_q, blk_k, sk, precision,
 ):
     qb = pl.program_id(2)  # q innermost here
     nq = pl.num_programs(2)
@@ -317,19 +322,19 @@ def _flash_bwd_dkv_kernel(
         delta = delta_ref[0]
         row = mask_ref[pl.ds(g, 1), :][0]
         p, _ = _recompute_p(q, k, row, lse, scale, causal, qb, kb,
-                            blk_q, blk_k, sk)
+                            blk_q, blk_k, sk, precision)
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # (blk_k, D)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         ds = p * (dp - delta)  # (blk_q, blk_k)
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ) * scale
 
     @pl.when(qb == nq - 1)
@@ -339,11 +344,12 @@ def _flash_bwd_dkv_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret")
+    jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret",
+                          "precision")
 )
 def flash_attention_bwd(
     q, k, v, mask, out, lse, do, *, causal=False, blk_q=512, blk_k=512,
-    interpret=False,
+    interpret=False, precision=None,
 ):
     """Backward pass: returns (dq, dk, dv) given forward residuals."""
     b, h = q.shape[:2]
@@ -375,7 +381,7 @@ def flash_attention_bwd(
     dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel, scale=scale, causal=causal,
-            blk_q=blk_q, blk_k=blk_k, sk=sk,
+            blk_q=blk_q, blk_k=blk_k, sk=sk, precision=precision,
         ),
         grid=(bh, pl.cdiv(sq, blk_q), pl.cdiv(sk, blk_k)),
         in_specs=common_in,
@@ -408,7 +414,7 @@ def flash_attention_bwd(
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel, scale=scale, causal=causal,
-            blk_q=blk_q, blk_k=blk_k, sk=sk,
+            blk_q=blk_q, blk_k=blk_k, sk=sk, precision=precision,
         ),
         grid=(bh, pl.cdiv(sk, blk_k), pl.cdiv(sq, blk_q)),
         in_specs=dkv_in,

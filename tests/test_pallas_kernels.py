@@ -79,6 +79,30 @@ def test_sdpa_forward_and_grad(rng):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
+def test_sdpa_precision_knob(rng):
+    """precision=HIGHEST threads through both paths (the on-chip contract:
+    tools/flash_numerics pins the round-1 0.5% gradient gap to DEFAULT MXU
+    input rounding; HIGHEST makes flash and XLA agree to ~1e-6)."""
+    B, H, S, D = 2, 2, 40, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((B, S)) > 0.25)
+    hi = jax.lax.Precision.HIGHEST
+
+    def loss_kernel(q, k, v):
+        out = dispatch.sdpa(q, k, v, mask, interpret=True, precision=hi)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        out = attn_ref.sdpa(q, k, v, mask[:, None, None, :], precision=hi)
+        return jnp.sum(out ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_sdpa_causal(rng):
     B, H, S, D = 1, 1, 24, 8
     q, k, v = (jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
