@@ -4,9 +4,17 @@ Public entry points mirror the reference ops in kernels/{interactions,
 attention,embedding}.py.  Routing is *measured*, not dogmatic (numbers from
 the v5e this framework was tuned on, 4096-example criteo-shaped batches):
 
-* interactions (FM / dot-interaction): XLA's fused einsum+gather beats the
-  Pallas kernels by ~7% at the zoo's tiny F x D shapes, so Pallas is opt-in
-  via RECSYS_TPU_PALLAS_INTERACTIONS=1.
+* dot-interaction: the Pallas kernel is the DEFAULT for F <= 64 — the
+  round-2 on-chip sweep (tools/kernel_sweep.py, fwd+bwd train steps)
+  measured it 1.08-2.34x over XLA's einsum+tril gather across
+  B {4096,16384} x F {26,64} x D {16,64,128} (e.g. 2.34x at B4096/F64/D16,
+  1.27x at the DLRM bench shape B16384/F26/D16 = +6.4% end-to-end step),
+  and 0.75-0.98x at F=128 where XLA wins — hence the F cutoff.  The
+  round-1 "always ~7% slower" reading predated the packed-table/bf16
+  work and does not reproduce.
+* FM bi-interaction: a wash on chip (0.89-1.13x across the same sweep,
+  no consistent band), so the simpler XLA einsum stays the default;
+  RECSYS_TPU_PALLAS_INTERACTIONS=1 forces both kernels on everywhere.
 * attention: the flash kernel switches in once the score matrix is big
   enough to be HBM-bound (Sq*Sk >= 256^2); short sequences use the fused
   XLA softmax path.
@@ -50,6 +58,11 @@ def _pallas_interactions() -> bool:
     return use_pallas() and _opt_in("RECSYS_TPU_PALLAS_INTERACTIONS")
 
 
+# dot-interaction win band measured by tools/kernel_sweep.py (see module
+# docstring); above this field count XLA's einsum wins and is used instead
+_DOT_PALLAS_MAX_F = 64
+
+
 # -- FM bi-interaction ------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _fm_vec_pallas(field_embs, interpret):
@@ -57,7 +70,10 @@ def _fm_vec_pallas(field_embs, interpret):
         fm_pairwise_vector_pallas,
     )
 
-    return fm_pairwise_vector_pallas(field_embs, interpret=interpret)
+    # kernel accumulates in f32; emit the input dtype like the jnp reference
+    return fm_pairwise_vector_pallas(field_embs, interpret=interpret).astype(
+        field_embs.dtype
+    )
 
 
 def _fm_fwd(x, interpret):
@@ -67,7 +83,7 @@ def _fm_fwd(x, interpret):
 def _fm_bwd(interpret, x, g):
     # y_d = 0.5((sum_f x_fd)^2 - sum_f x_fd^2) ; dy_d/dx_fd = (sum_f' x) - x_f
     s = jnp.sum(x, axis=1, keepdims=True)  # (B, 1, D)
-    return (g[:, None, :] * (s - x),)
+    return ((g[:, None, :] * (s - x)).astype(x.dtype),)
 
 
 _fm_vec_pallas.defvjp(_fm_fwd, _fm_bwd)
@@ -104,7 +120,7 @@ def _dot_bwd(self_interaction, interpret, x, g):
     rows, cols = jnp.tril_indices(f, k=0 if self_interaction else -1)
     gram_g = jnp.zeros((b, f, f), g.dtype).at[:, rows, cols].add(g)
     sym = gram_g + jnp.swapaxes(gram_g, 1, 2)  # d<x_i,x_j> hits both slots
-    return (jnp.einsum("bfg,bgd->bfd", sym, x),)
+    return (jnp.einsum("bfg,bgd->bfd", sym, x).astype(x.dtype),)
 
 
 _dot_pallas.defvjp(_dot_fwd, _dot_bwd)
@@ -112,7 +128,8 @@ _dot_pallas.defvjp(_dot_fwd, _dot_bwd)
 
 def dot_interaction(vectors, *, self_interaction: bool = False,
                     interpret: bool = False):
-    if _pallas_interactions() or interpret:
+    in_band = vectors.shape[1] <= _DOT_PALLAS_MAX_F
+    if interpret or (use_pallas() and in_band) or _pallas_interactions():
         return _dot_pallas(vectors, self_interaction, interpret)
     return int_ref.dot_interaction(vectors, self_interaction=self_interaction)
 
@@ -172,10 +189,12 @@ def sdpa(q, k, v, mask=None, *, causal: bool = False,
     matmul precision (inputs rounded to bf16 on the MXU, f32 accumulation),
     the same contract as every dense layer in the framework.  Because the
     two paths order their bf16 roundings differently, their *gradients*
-    agree only to ~0.5%% relative at SASRec shapes (measured on v5e; both
-    are ~1e-6 vs float64 run at HIGHEST).  Pass
+    differ ~0.2% relative at SASRec shapes while EACH is ~0.4% from
+    float64 (measured on v5e by tools/flash_numerics.py).  Pass
     ``precision=jax.lax.Precision.HIGHEST`` to run the MXU in full-f32
-    passes: flash and XLA then agree to ~1e-6 at ~3x matmul cost."""
+    passes: XLA then lands ~1e-6 from float64 and flash ~3e-5 (the
+    residual is flash's f32 exp/lse recompute, not the MXU), at ~3x
+    matmul cost."""
     big = q.shape[-2] * k.shape[-2] >= _FLASH_MIN_SCORES
     if (use_pallas() and big) or interpret:
         return _sdpa_pallas(q, k, v, mask, causal, interpret, precision)

@@ -81,7 +81,7 @@ def topk_scores_pallas(
     k: int = 10,
     *,
     blk_q: int = 128,
-    tile_n: int = 512,
+    tile_n: int = 2048,  # retuned round 2: 512 lost to lax.top_k, 2048 wins
     interpret: bool = False,
 ):
     """(Q, D) x (N, D) -> (values (Q, k), indices (Q, k)), descending."""

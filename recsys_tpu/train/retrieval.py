@@ -24,16 +24,36 @@ from jax.sharding import Mesh, PartitionSpec as P
 from recsys_tpu.parallel.mesh import pad_to_multiple, MODEL_AXIS
 
 
+# Fused-kernel win band (round-2 on-chip sweep, tools/kernel_sweep.py topk +
+# retrieval-shape probes): with tile_n=2048 the Pallas streaming kernel beats
+# the materialised einsum+lax.top_k 1.10x at N=20k, 1.57-1.60x at N=100k and
+# 1.84x at N=1M (Q=1024, D {32,64,128}, k=10; indices exact).  The selection
+# loop unrolls k times, so large k blows compile/step cost — stay on XLA
+# there.  (Round-1 measured the kernel losing at its then-default tile_n=512;
+# the tile retune flipped it.)
+_FUSED_TOPK_MAX_K = 16
+
+
 def topk_scores(
     query_embs: jnp.ndarray,
     item_embs: jnp.ndarray,
     k: int = 10,
     normalize: bool = False,
 ):
-    """Dense brute-force top-k: (Q, D) x (N, D) -> (values, indices) (Q, k)."""
+    """Dense brute-force top-k: (Q, D) x (N, D) -> (values, indices) (Q, k).
+
+    On TPU, small-k calls route to the fused Pallas score+select kernel,
+    which streams the catalog through VMEM and never materialises the
+    (Q, N) score matrix (see the win-band note above)."""
     if normalize:
         query_embs = _l2(query_embs)
         item_embs = _l2(item_embs)
+    from recsys_tpu.kernels import use_pallas
+
+    if use_pallas() and k <= _FUSED_TOPK_MAX_K and item_embs.shape[0] > k:
+        from recsys_tpu.kernels.pallas.topk_tpu import topk_scores_pallas
+
+        return topk_scores_pallas(query_embs, item_embs, k=k)
     scores = jnp.einsum(
         "qd,nd->qn", query_embs, item_embs, preferred_element_type=jnp.float32
     )
@@ -106,11 +126,19 @@ def topk_scores_streaming(
 
     Peak memory is O(Q * (tile + k)) instead of the O(Q * N) score matrix of
     :func:`topk_scores` — the single-chip path for catalogs where Q*N scores
-    would blow HBM (N ~ millions).
+    would blow HBM (N ~ millions).  On TPU at small k this routes to the
+    fused Pallas kernel, which has the same O(Q * (tile + k)) bound and was
+    measured 1.84x the materialised path at N=1M (see win-band note above).
     """
     if normalize:
         query_embs = _l2(query_embs)
         item_embs = _l2(item_embs)
+    from recsys_tpu.kernels import use_pallas
+
+    if use_pallas() and k <= _FUSED_TOPK_MAX_K and item_embs.shape[0] > k:
+        from recsys_tpu.kernels.pallas.topk_tpu import topk_scores_pallas
+
+        return topk_scores_pallas(query_embs, item_embs, k=k)
     n, d = item_embs.shape
     q = query_embs.shape[0]
     pad = pad_to_multiple(n, tile) - n
