@@ -162,7 +162,8 @@ class StackedEmbedding(nn.Module):
         else:  # a2a_pipelined
             out, dropped = es.sharded_gather_a2a_pipelined(
                 table, prows, self.mesh, num_chunks=self.a2a_chunks,
-                capacity_factor=self.capacity_factor, return_stats=True,
+                capacity_factor=self.capacity_factor,
+                dedup=self.a2a_dedup, return_stats=True,
             )
         # overflow observability: the Trainer picks this up per step and
         # reports history['a2a_dropped'] (see VERDICT.md round-1 weak #1)

@@ -197,10 +197,21 @@ def sharded_gather_a2a(
     The production pattern for large tables (SURVEY.md §2.5 north star):
     each data shard buckets its IDs by owner model-shard, exchanges the
     buckets with ``all_to_all`` (payload: IDs), owners gather their rows
-    locally, and a second ``all_to_all`` returns the vectors.  Per-shard
-    communication is O(N/S ids + N*D/S floats) instead of the psum
-    engine's O(N*D) full-output reduction — the win grows with the model
-    axis.
+    locally, and a second ``all_to_all`` returns the vectors.
+
+    Comm accounting (measured at the compiled-HLO level by
+    tools/comm_bytes.py — see BASELINE.md "collective bytes"): per data
+    shard with N lookups, the vector exchange moves ``capacity_factor *
+    N*D`` each way vs the psum engine's N*D all-reduce, and a ring
+    all-reduce costs ~2x its payload on the wire while an all-to-all
+    costs ~(S-1)/S of its.  Net: the a2a engine's wire advantage is
+    ~2/capacity_factor (e.g. 1.6x at cf=1.25), NOT the O(N*D/S) an
+    earlier revision of this docstring claimed — every data shard still
+    receives its full N*D vectors back whatever S is.  The engine's
+    *other* wins are what production needs it for: the owner shard
+    gathers/scatter-adds only its OWN rows (no full-output partial-sum
+    buffer per model shard), and ``dedup=True`` collapses hot ids before
+    the exchange so skewed traffic fits a small capacity_factor.
 
     Static shapes via a capacity factor: each owner bucket holds
     ``C = ceil(N / S * capacity_factor)`` slots; IDs beyond an owner's
@@ -262,6 +273,7 @@ def sharded_gather_a2a_pipelined(
     mesh: Mesh,
     num_chunks: int = 2,
     capacity_factor: float | None = 2.0,
+    dedup: bool = False,
     return_stats: bool = False,
 ):
     """:func:`sharded_gather_a2a` with an explicit comm/compute pipeline.
@@ -281,12 +293,19 @@ def sharded_gather_a2a_pipelined(
     never drop an id the single-shot engine would have served, whatever the
     per-chunk owner skew (round-1 advisor finding).  Chunk padding uses the
     id -1, which consumes no capacity (it is not bucketed to owner 0).
+
+    ``dedup=True`` dedups the ids BEFORE chunking (hot ids cross the wire
+    once, exactly like the single-shot engine; the -1 pad slots of the
+    static dedup ride the chunks as ordinary padding) and re-expands with
+    the inverse map after the pipeline (VERDICT r2 weak #8).
     """
     n_model = mesh.shape[MODEL_AXIS]
 
     def local_fn(table_shard, rows_local):
         shape = rows_local.shape
         flat = rows_local.reshape(-1)
+        if dedup:
+            flat, inverse = unique_with_counts_static(flat)
         n = flat.shape[0]
         k = max(1, min(num_chunks, n))
         pad = pad_to_multiple(n, k) - n
@@ -320,6 +339,8 @@ def sharded_gather_a2a_pipelined(
             )
             outs.append(_a2a_unbucket(back, states[c], n_model, cap, d))
         out = jnp.concatenate(outs, axis=0)[:n]
+        if dedup:
+            out = jnp.take(out, inverse, axis=0)
         out = out.reshape(*shape, d)
         if not return_stats:
             return out

@@ -138,6 +138,10 @@ def main(argv=None):
     p.add_argument("--interpret", action="store_true")
     p.add_argument("--quick", action="store_true",
                    help="tiny shapes, harness smoke only")
+    p.add_argument("--out", default=None,
+                   help="also write the JSON report here; the write is "
+                   "VERIFIED non-empty (round-2's topk artifact silently "
+                   "landed as a 0-byte file via shell redirection)")
     args = p.parse_args(argv)
 
     rep = {"device": jax.devices()[0].device_kind}
@@ -147,7 +151,19 @@ def main(argv=None):
         )
     if args.mode in ("topk", "all"):
         rep["topk"] = sweep_topk(args.iters, args.interpret, args.quick)
-    print(json.dumps(rep))
+    payload = json.dumps(rep)
+    if args.out:
+        import os
+
+        with open(args.out, "w") as f:
+            f.write(payload + "\n")
+        size = os.path.getsize(args.out)
+        if size <= 2:
+            raise RuntimeError(
+                f"artifact write produced {size} bytes at {args.out!r}"
+            )
+        sys.stderr.write(f"wrote {size} bytes -> {args.out}\n")
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -58,21 +58,21 @@ def save_sharded(path: str, state) -> None:
     Every process calls this with the same directory (a shared filesystem,
     as usual for checkpoints).  Each distinct block of each array is saved
     exactly once across the job — by the process holding its replica-0
-    shard — as a shard-sized npz entry; a per-process JSON manifest records
-    which leaf and which index range each entry covers.  Peak host memory
-    is ONE SHARD, never a full array.
+    shard — STREAMED block-per-file (``np.save`` immediately per shard, no
+    accumulation), so peak host memory really is one shard, even on a
+    single-host mesh that addresses the whole model.  A per-process JSON
+    manifest records which leaf and which index range each file covers.
     """
     os.makedirs(path, exist_ok=True)
     proc = jax.process_index()
     leaves = jax.tree_util.tree_leaves(state)
     manifest = []
-    blocks = {}
     for i, leaf in enumerate(leaves):
         if not isinstance(leaf, jax.Array):
             arr = np.asarray(leaf)
             if proc == 0:
                 key = f"b{i}_0"
-                blocks[key] = arr
+                np.save(os.path.join(path, f"p{proc}_{key}.npy"), arr)
                 manifest.append({
                     "leaf": i, "key": key,
                     "index": _norm_index((slice(None),) * arr.ndim,
@@ -83,12 +83,15 @@ def save_sharded(path: str, state) -> None:
             if shard.replica_id != 0:
                 continue  # another device/process owns this block's copy
             key = f"b{i}_{j}"
-            blocks[key] = np.asarray(shard.data)
+            # fetch + write + free ONE shard at a time
+            np.save(
+                os.path.join(path, f"p{proc}_{key}.npy"),
+                np.asarray(shard.data),
+            )
             manifest.append({
                 "leaf": i, "key": key,
                 "index": _norm_index(shard.index, leaf.shape),
             })
-    np.savez(os.path.join(path, f"shards_p{proc}.npz"), **blocks)
     with open(os.path.join(path, f"manifest_p{proc}.json"), "w") as f:
         json.dump(manifest, f)
 
@@ -105,14 +108,11 @@ def restore_sharded(path: str, template):
     formed on host.
     """
     manifests = []
-    files = {}
     for name in sorted(os.listdir(path)):
         if name.startswith("manifest_p"):
             with open(os.path.join(path, name)) as f:
                 part = json.load(f)
             proc = name[len("manifest_p"):-len(".json")]
-            npz = np.load(os.path.join(path, f"shards_p{proc}.npz"))
-            files[proc] = npz
             for entry in part:
                 entry["proc"] = proc
             manifests.extend(part)
@@ -132,7 +132,9 @@ def restore_sharded(path: str, template):
         def block_for(index_norm):
             for e in entries:
                 if e["index"] == index_norm:
-                    return files[e["proc"]][e["key"]]
+                    return np.load(
+                        os.path.join(path, f"p{e['proc']}_{e['key']}.npy")
+                    )
             raise ValueError(
                 f"leaf {i}: no saved block covers index {index_norm} "
                 f"(mesh/sharding changed since save?)"

