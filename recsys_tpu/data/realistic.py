@@ -155,6 +155,9 @@ def realistic_ratings(
     drift_scale: float = 6.0,
     user_batch: int = 1024,
     seed: int = 0,
+    return_meta: bool = False,
+    num_cates: int = 200,
+    num_occupations: int = 21,
 ) -> pd.DataFrame:
     """A ratings frame with collaborative + popularity + sequential structure.
 
@@ -171,6 +174,19 @@ def realistic_ratings(
 
     Feed the result to build_ncf_dataset / build_sasrec_dataset /
     build_ml100k-style builders — the exact protocol code — at scale.
+
+    ``return_meta=True`` additionally returns a dict of side features
+    DERIVED FROM THE SAME LATENT VECTORS (so they carry real signal):
+      * ``item_cate`` (num_items+1,) int32, 1-based, 0=pad — Voronoi
+        categories on the item sphere (argmax over ``num_cates`` random
+        directions): a user's items cluster in category space, the
+        structure DIN's attention and the DSSM category field exploit;
+      * ``user_age_bin`` (num_users+1,) int32 in [1, 7],
+        ``user_gender`` (num_users+1,) int32 in {1, 2},
+        ``user_occupation`` (num_users+1,) int32 in [1, num_occupations] —
+        quantized user-vector projections (the ml-100k demographic fields,
+        /root/reference/src/match/utils/data_process.py:20-80, with
+        latent-correlated rather than independent values).
     """
     rng = np.random.default_rng(seed)
     u_vec = rng.normal(0, 1, (num_users, latent_dim))
@@ -213,7 +229,7 @@ def realistic_ratings(
             items_out.append(sel + 1)
             ratings_out.append(rating)
             ts_out.append(np.arange(L, dtype=np.int64))
-    return pd.DataFrame(
+    df = pd.DataFrame(
         {
             "user_id": np.concatenate(users_out),
             "item_id": np.concatenate(items_out),
@@ -221,6 +237,29 @@ def realistic_ratings(
             "timestamp": np.concatenate(ts_out),
         }
     )
+    if not return_meta:
+        return df
+    cat_dirs = rng.normal(0, 1, (latent_dim, num_cates))
+    item_cate = np.zeros(num_items + 1, np.int32)
+    item_cate[1:] = np.argmax(v_vec @ cat_dirs, axis=1) + 1
+    age_proj = u_vec @ rng.normal(0, 1, latent_dim)
+    qs = np.quantile(age_proj, np.linspace(0, 1, 8)[1:-1])
+    occ_dirs = rng.normal(0, 1, (latent_dim, num_occupations))
+    meta = {
+        "item_cate": item_cate,
+        "num_cates": num_cates + 1,
+        "user_age_bin": np.concatenate(
+            [[0], np.digitize(age_proj, qs) + 1]
+        ).astype(np.int32),
+        "user_gender": np.concatenate(
+            [[0], (u_vec @ rng.normal(0, 1, latent_dim) > 0) + 1]
+        ).astype(np.int32),
+        "user_occupation": np.concatenate(
+            [[0], np.argmax(u_vec @ occ_dirs, axis=1) + 1]
+        ).astype(np.int32),
+        "num_occupations": num_occupations + 1,
+    }
+    return df, meta
 
 
 # ---------------------------------------------------------------------------
@@ -298,3 +337,204 @@ def build_ncf_dataset_fast(
         "neg_item": draw_negs(test_users, test_neg_num),
     }
     return num_users, num_items, train, val, test
+
+
+# ---------------------------------------------------------------------------
+# Vectorized DIN (Amazon-Electronics) protocol builder at 100k-user scale —
+# the same split/negative/padding semantics as
+# data/amazon.build_amazon_arrays (reference /root/reference/src/ctr/utils/
+# data_process.py:121-227), numpy-vectorized so >=100k users build in
+# seconds instead of a per-position Python loop.
+# ---------------------------------------------------------------------------
+def build_din_dataset_fast(
+    ratings: pd.DataFrame,
+    item_cate: np.ndarray,
+    num_cates: int,
+    maxlen: int = 40,
+    embed_dim: int = 8,
+    seed: int = 2020,
+    max_train_positions: int | None = None,
+):
+    """(schema, train, val, test) in the DIN batch layout:
+    {'sparse': (B, 2) [item, cate], 'hist': (B, L), 'hist_cate': (B, L),
+    'label': (B,)}.  Per-user chronological; every position t >= 1 yields a
+    positive (the next item) and ONE random true negative; last position ->
+    test, second-to-last -> val, rest -> train.  ``max_train_positions``
+    caps train positions per user (most recent kept) to bound memory."""
+    from recsys_tpu.core.features import (
+        FeatureSchema, SparseFeature, VarLenSparseFeature,
+    )
+
+    rng = np.random.default_rng(seed)
+    u = ratings["user_id"].to_numpy()
+    i = ratings["item_id"].to_numpy().astype(np.int64)  # 1-based, 0 = pad
+    ts = ratings["timestamp"].to_numpy()
+    num_items = int(item_cate.shape[0])  # includes the pad slot
+
+    order = np.lexsort((ts, u))
+    u, items = u[order], i[order].astype(np.int32)
+    uniq, starts, counts = np.unique(u, return_index=True, return_counts=True)
+    keep = counts >= 3
+    uniq, starts, counts = uniq[keep], starts[keep], counts[keep]
+    ends = starts + counts
+
+    # membership for true negatives
+    pos_key = np.sort(u.astype(np.int64) * num_items + items)
+
+    def draw_negs(users_int, n):
+        out = rng.integers(1, num_items, (len(users_int), n), dtype=np.int64)
+        base = users_int.astype(np.int64) * num_items
+        for _ in range(64):
+            key = base[:, None] + out
+            idx = np.searchsorted(pos_key, key.ravel())
+            hit = (idx < len(pos_key)) & (
+                pos_key[np.minimum(idx, len(pos_key) - 1)] == key.ravel()
+            )
+            hit = hit.reshape(out.shape)
+            n_bad = int(hit.sum())
+            if n_bad == 0:
+                return out.astype(np.int32)
+            out[hit] = rng.integers(1, num_items, n_bad, dtype=np.int64)
+        raise RuntimeError("negative sampling failed to converge")
+
+    def positions(kind):
+        """(user_row_idx, global position of the TARGET) per example."""
+        if kind == "test":
+            return np.arange(len(uniq)), ends - 1
+        if kind == "val":
+            return np.arange(len(uniq)), ends - 2
+        # train targets: t = 1 .. L-3 (L-3 of them; 0 for 3-item users),
+        # optionally capped to the most recent max_train_positions
+        reps = counts - 3
+        if max_train_positions is not None:
+            reps = np.minimum(reps, max_train_positions)
+        urow = np.repeat(np.arange(len(uniq)), reps)
+        t_end = counts - 2  # exclusive bound: train t < L-2
+        offs = (np.concatenate([np.arange(r) for r in reps])
+                if len(reps) else np.zeros(0, np.int64))
+        t = (t_end[urow] - reps[urow]) + offs
+        return urow, starts[urow] + t
+
+    def build(kind):
+        urow, tpos = positions(kind)
+        m = len(urow)
+        # history window: local positions [tloc-maxlen, tloc)
+        win = np.arange(maxlen)[None, :] + (tpos - maxlen)[:, None]
+        valid = win >= starts[urow][:, None]
+        hist = np.where(valid, items[np.maximum(win, 0)], 0).astype(np.int32)
+        pos_items = items[tpos]
+        negs = draw_negs(uniq[urow], 1)[:, 0]
+        sparse = np.empty((2 * m, 2), np.int32)
+        sparse[0::2, 0] = pos_items
+        sparse[1::2, 0] = negs
+        sparse[:, 1] = item_cate[sparse[:, 0]]
+        hist2 = np.repeat(hist, 2, axis=0)
+        return {
+            "sparse": sparse,
+            "hist": hist2,
+            "hist_cate": item_cate[hist2].astype(np.int32),
+            "label": np.tile(np.asarray([1.0, 0.0], np.float32), m),
+        }
+
+    schema = FeatureSchema(
+        sparse=[
+            SparseFeature("item", num_items, embed_dim),
+            SparseFeature("cate", num_cates, embed_dim),
+        ],
+        varlen=[
+            VarLenSparseFeature("hist_item", num_items, embed_dim,
+                                max_len=maxlen, shared_with="item"),
+            VarLenSparseFeature("hist_cate", num_cates, embed_dim,
+                                max_len=maxlen, shared_with="cate"),
+        ],
+    )
+    return schema, build("train"), build("val"), build("test")
+
+
+# ---------------------------------------------------------------------------
+# Multi-task CTR/CVR generator (ESMM/MMoE/PLE protocol at scale) — the
+# reference trains these on synthetic frames (/root/reference/src/ctr/esmm/
+# train.py:25-72, mmoe/train.py:25-72); this is the same idea with planted
+# SHARED structure (the thing multi-task gating exists to exploit) and
+# oracle ceilings for both heads.
+# ---------------------------------------------------------------------------
+def realistic_multitask(
+    num_examples: int = 1_000_000,
+    embed_dim: int = 16,
+    vocabs: tuple = CRITEO_VOCABS[:12],
+    num_dense: int = 8,
+    target_ctr: float = 0.25,
+    target_cvr: float = 0.15,
+    signal_std: float = 1.6,
+    task_corr: float = 0.6,
+    zipf_s: float = 1.05,
+    latent_dim: int = 4,
+    seed: int = 0,
+):
+    """Two-task frame: click ~ Bern(p_ctr); conversion observed ONLY on
+    clicks (the entire-space setting ESMM models).  The two task logits
+    share a common latent component (weight ``task_corr``) plus
+    task-specific components.  Returns (schema, data, meta): data has
+    dense/sparse plus 'click' and 'ctcvr' (= click * converted) labels;
+    meta carries oracle AUCs for both heads.
+    """
+    rng = np.random.default_rng(seed)
+    f = len(vocabs)
+    sparse = np.empty((num_examples, f), np.int32)
+    for j, v in enumerate(vocabs):
+        sparse[:, j] = rng.choice(v, size=num_examples,
+                                  p=_zipf_probs(v, zipf_s, rng))
+    raw = rng.lognormal(1.0, 1.5, (num_examples, num_dense))
+    dense = ((raw - raw.min(0)) / (raw.max(0) - raw.min(0) + 1e-9)
+             ).astype(np.float32)
+
+    def planted(seed_off):
+        r = np.random.default_rng(seed + 1000 + seed_off)
+        logit = np.zeros(num_examples, np.float64)
+        z_sum = np.zeros((num_examples, latent_dim))
+        z_sq = np.zeros(num_examples)
+        for j, v in enumerate(vocabs):
+            fs = 1.0 / np.sqrt(1.0 + j % 7)
+            logit += r.normal(0, fs, v)[sparse[:, j]]
+            z = r.normal(0, fs / np.sqrt(latent_dim), (v, latent_dim))
+            zj = z[sparse[:, j]]
+            z_sum += zj
+            z_sq += np.einsum("nk,nk->n", zj, zj)
+        inter = 0.5 * (np.einsum("nk,nk->n", z_sum, z_sum) - z_sq)
+        return logit + 1.5 * inter + dense @ r.normal(0, 1, num_dense)
+
+    shared = planted(0)
+    l_ctr = task_corr * shared + (1 - task_corr) * planted(1)
+    l_cvr = task_corr * shared + (1 - task_corr) * planted(2)
+
+    def calibrate(logit, rate):
+        logit = signal_std * (logit - logit.mean()) / (logit.std() + 1e-12)
+        lo, hi = -20.0, 20.0
+        for _ in range(50):
+            c = 0.5 * (lo + hi)
+            if (1 / (1 + np.exp(-(logit + c)))).mean() < rate:
+                lo = c
+            else:
+                hi = c
+        return 1 / (1 + np.exp(-(logit + 0.5 * (lo + hi))))
+
+    p_ctr = calibrate(l_ctr, target_ctr)
+    p_cvr = calibrate(l_cvr, target_cvr)
+    click = (rng.random(num_examples) < p_ctr).astype(np.float32)
+    converted = (rng.random(num_examples) < p_cvr).astype(np.float32)
+    ctcvr = click * converted
+
+    schema = FeatureSchema(
+        dense=[DenseFeature(f"I{i}") for i in range(num_dense)],
+        sparse=[SparseFeature(f"C{i}", int(v), embed_dim)
+                for i, v in enumerate(vocabs)],
+    )
+    data = {"dense": dense, "sparse": sparse, "click": click,
+            "ctcvr": ctcvr}
+    meta = {
+        "ctr": float(click.mean()),
+        "ctcvr_rate": float(ctcvr.mean()),
+        "oracle_auc_ctr": _auc(click, p_ctr),
+        "oracle_auc_ctcvr": _auc(ctcvr, p_ctr * p_cvr),
+    }
+    return schema, data, meta

@@ -59,6 +59,7 @@ class EmbedPlan:
     group_offsets: tuple[tuple[int, ...], ...]  # per group: offset per col
     packs: tuple[int, ...] = ()  # per group: vocab rows per physical row
     embed_dim: int = 0
+    group_vocab: tuple[int, ...] = ()  # per group: stacked vocab size
 
 
 def build_plan(params: dict, schema: FeatureSchema) -> EmbedPlan:
@@ -118,6 +119,7 @@ def build_plan(params: dict, schema: FeatureSchema) -> EmbedPlan:
         group_offsets=tuple(tuple(o) for o in offs),
         packs=packs,
         embed_dim=d,
+        group_vocab=tuple(int(v) for v in group_vocab),
     )
 
 

