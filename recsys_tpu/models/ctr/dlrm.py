@@ -35,6 +35,10 @@ class DLRM(nn.Module):
     # sparse (touched-rows-only) embedding optimizer can be used --
     # see recsys_tpu/train/sparse_embed.py
     sparse_embed_grads: bool = False
+    # route both MLP towers through the fused Pallas forward/backward
+    # kernels (ops.mlp.FusedMLP — VMEM-resident weights, no hidden-state
+    # HBM round trips); requires dropout_rate == 0
+    fused_mlps: bool = False
 
     # passthrough construction kwargs for StackedEmbedding (engine/mesh/
     # capacity_factor/num_groups ... ) -- how the Trainer/CLI select the
@@ -52,11 +56,22 @@ class DLRM(nn.Module):
         if self.compute_dtype is not None:
             field_embs = field_embs.astype(self.compute_dtype)
 
+        if self.fused_mlps and self.dropout_rate > 0:
+            raise ValueError("fused_mlps requires dropout_rate == 0")
+
+        def make_mlp(units, out_dim, dropout=0.0):
+            if self.fused_mlps:
+                from recsys_tpu.ops.mlp import FusedMLP
+
+                return FusedMLP(units, out_dim=out_dim,
+                                mm_bf16=self.compute_dtype is not None)
+            return MLP(units, out_dim=out_dim, dropout_rate=dropout,
+                       dtype=self.compute_dtype)
+
         feats = field_embs
         bottom = None
         if dense is not None and dense.shape[-1] > 0:
-            bottom = MLP(self.bottom_units, out_dim=d,
-                         dtype=self.compute_dtype)(dense, training=training)
+            bottom = make_mlp(self.bottom_units, d)(dense, training=training)
             feats = jnp.concatenate(
                 [bottom[:, None, :].astype(feats.dtype), field_embs], axis=1
             )
@@ -67,8 +82,7 @@ class DLRM(nn.Module):
         top_in = inter if bottom is None else jnp.concatenate(
             [bottom.astype(inter.dtype), inter], axis=-1
         )
-        logits = MLP(
-            self.top_units, out_dim=1, dropout_rate=self.dropout_rate,
-            dtype=self.compute_dtype,
-        )(top_in, training=training)[..., 0]
+        logits = make_mlp(self.top_units, 1, dropout=self.dropout_rate)(
+            top_in, training=training
+        )[..., 0]
         return logits.astype(jnp.float32)

@@ -69,6 +69,74 @@ def resolve_activation(name: str | Callable) -> Callable:
     return table[name]
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_mlp(x, ws, bs, mm_bf16, interpret):
+    from recsys_tpu.kernels.pallas.mlp_tpu import mlp_fwd_pallas
+
+    return mlp_fwd_pallas(x, ws, bs, mm_bf16=mm_bf16, interpret=interpret)
+
+
+def _fused_mlp_fwd(x, ws, bs, mm_bf16, interpret):
+    return _fused_mlp(x, ws, bs, mm_bf16, interpret), (x, ws, bs)
+
+
+def _fused_mlp_bwd(mm_bf16, interpret, res, g):
+    from recsys_tpu.kernels.pallas.mlp_tpu import mlp_bwd_pallas
+
+    x, ws, bs = res
+    out = mlp_bwd_pallas(x, g, ws, bs, mm_bf16=mm_bf16, interpret=interpret)
+    n = len(ws)
+    dx, dws, dbs = out[0], list(out[1:n + 1]), list(out[n + 1:])
+    return dx.astype(x.dtype), dws, dbs
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+class FusedMLP(nn.Module):
+    """Relu MLP stack through the fused Pallas forward/backward kernels
+    (kernels/pallas/mlp_tpu.py): weights stay VMEM-resident, hidden
+    activations never touch HBM, the backward recomputes them and
+    accumulates dW/db in VMEM across batch tiles.
+
+    Numerically the same function as ``MLP(hidden_units, out_dim=...)``
+    with relu, no BN, no dropout (parity-tested); matmuls use bf16 inputs
+    with f32 accumulation by default (``mm_bf16=False`` for exact f32).
+    Param names are ``kernel_i``/``bias_i`` (bias shaped (1, D)).
+    Measured on the DLRM bench (v5e, B=16384): bottom 13->512->256->16
+    and top 367->1024->1024->512->256->1 — see BASELINE.md dense-phase
+    rows.
+    """
+
+    hidden_units: Sequence[int]
+    out_dim: int
+    mm_bf16: bool = True
+    tile_b: int = 512
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, training: bool = False) -> jnp.ndarray:
+        from recsys_tpu.kernels import use_pallas
+        from recsys_tpu.kernels.pallas.mlp_tpu import mlp_fwd_pallas  # noqa: F401
+
+        dims = [x.shape[-1], *self.hidden_units, self.out_dim]
+        ws = [
+            self.param(f"kernel_{i}", nn.initializers.lecun_normal(),
+                       (dims[i], dims[i + 1]))
+            for i in range(len(dims) - 1)
+        ]
+        bs = [
+            self.param(f"bias_{i}", nn.initializers.zeros, (1, dims[i + 1]))
+            for i in range(len(dims) - 1)
+        ]
+        return _fused_mlp(x.astype(jnp.float32), ws, bs, self.mm_bf16,
+                          not use_pallas())
+
+
 class MLP(nn.Module):
     """Stack of Dense layers with optional entry BatchNorm and dropout.
 

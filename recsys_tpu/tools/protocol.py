@@ -76,6 +76,12 @@ def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
     if embedding_engine:
         from recsys_tpu.parallel.mesh import make_mesh
 
+        if jax.default_backend() == "cpu":
+            # XLA:CPU deadlocks when async dispatch interleaves two
+            # in-flight executions' cross-module collectives (rendezvous
+            # stuck at different op_ids) — serialize executions on the
+            # virtual mesh
+            jax.config.update("jax_cpu_enable_async_dispatch", False)
         n = len(jax.devices())
         mesh = make_mesh(data=max(1, n // 2), model=min(2, n))
 

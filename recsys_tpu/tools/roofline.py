@@ -174,11 +174,50 @@ def build_phases(batch: int, rng: np.random.Generator):
         upd, opt = tx.update(grads_fixed, opt, params)
         return (optax.apply_updates(params, upd), opt)
 
+    # ---- fused phase: XLA id-permute + streaming kernel (r3 default path) --
+    from recsys_tpu.kernels.pallas.embedding_update_tpu import fused_bwd_adam
+    from recsys_tpu.train.streaming_embed import host_prep_group
+
+    prep = [
+        host_prep_group(np.asarray(ids[:, g]), pack=pack, vp=v_phys)
+        for g in range(NUM_SPARSE)
+    ]
+    ids2ds = [jnp.asarray(p[0]) for p in prep]
+    idxs = [jnp.asarray(p[1]) for p in prep]
+    cptrs = [jnp.asarray(p[2]) for p in prep]
+    cots = jnp.asarray(
+        rng.standard_normal((NUM_SPARSE, batch, EMBED_DIM)), jnp.float32
+    ) * 1e-2
+
+    from recsys_tpu.kernels import use_pallas
+
+    interp = not use_pallas()
+
+    def fused_bwd_fn(carry):
+        ts, ms, vs, t = carry
+        outs = []
+        for g in range(NUM_SPARSE):
+            cs = jnp.take(cots[g], idxs[g], axis=0).astype(jnp.bfloat16)
+            outs.append(fused_bwd_adam(
+                ts[g], ms[g], vs[g], cs, ids2ds[g], cptrs[g], t,
+                pack=pack, d=EMBED_DIM, interpret=interp,
+            ))
+        return ([o[0] for o in outs], [o[1] for o in outs],
+                [o[2] for o in outs], t + 1)
+
+    fused_carry = (
+        list(tables),
+        [jnp.zeros_like(t) for t in tables],
+        [jnp.zeros_like(t) for t in tables],
+        jnp.int32(1),
+    )
+
     phases = {
         "gather": (gather_fn, jnp.float32(0.5)),
         "dense": (dense_fn, dense_params),
         "scatter": (scatter_fn, list(tables)),
         "update": (update_fn, upd_carry),
+        "fused_bwd": (fused_bwd_fn, fused_carry),
     }
 
     # ---- analytic bytes / flops -------------------------------------------
@@ -208,12 +247,25 @@ def build_phases(batch: int, rng: np.random.Generator):
             "flops": 0,
         },
         "update": {"bytes": 7 * table_bytes, "flops": 0},
+        # permute (narrow cot r+w) + kernel stream (p/m/v r+w, sorted cot r)
+        "fused_bwd": {
+            "bytes": int(
+                6 * table_bytes
+                + 3 * lookups * EMBED_DIM * 4  # cot read + sorted write+read
+            ),
+            "flops": 0,
+        },
     }
     return phases, analytic
 
 
-def full_step_ms(batch: int, rng: np.random.Generator, iters: int) -> float:
-    """The actual bench step (framework DLRM, bf16, donated), scan-chained."""
+def full_step_ms(batch: int, rng: np.random.Generator, iters: int,
+                 fused: bool = False, fused_mlps: bool = False) -> float:
+    """The actual bench step (framework DLRM, bf16, donated), scan-chained.
+
+    ``fused=True`` times the round-3 default bench composition (tap +
+    fused streaming table update); ``fused_mlps`` additionally routes the
+    MLP towers through the fused Pallas MLP kernels."""
     from recsys_tpu.data.synthetic import synthetic_ctr
     from recsys_tpu.models.ctr.dlrm import DLRM
     from recsys_tpu.train.losses import bce_with_logits
@@ -223,7 +275,8 @@ def full_step_ms(batch: int, rng: np.random.Generator, iters: int) -> float:
         vocab_size=VOCAB, embed_dim=EMBED_DIM,
     )
     model = DLRM(schema, bottom_units=(*BOTTOM, EMBED_DIM),
-                 top_units=TOP, compute_dtype=jnp.bfloat16)
+                 top_units=TOP, compute_dtype=jnp.bfloat16,
+                 sparse_embed_grads=fused, fused_mlps=fused_mlps)
     b = {
         "dense": jnp.asarray(rng.random((batch, NUM_DENSE), np.float32)),
         "sparse": jnp.asarray(
@@ -231,29 +284,79 @@ def full_step_ms(batch: int, rng: np.random.Generator, iters: int) -> float:
         ),
         "label": jnp.asarray(rng.integers(0, 2, batch).astype(np.float32)),
     }
-    params = model.init(jax.random.PRNGKey(0), b, training=False)["params"]
+    variables = model.init(jax.random.PRNGKey(0), b, training=False)
+    params = variables["params"]
     tx = optax.adam(1e-3)
 
-    def step(state):
-        params, opt = state
+    if not fused:
+        def step(state):
+            params, opt = state
 
-        def loss_fn(p):
+            def loss_fn(p):
+                return bce_with_logits(
+                    model.apply({"params": p}, b, training=False), b["label"]
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, upd), opt)
+
+        return time_chained(step, (params, tx.init(params)), iters)
+
+    from recsys_tpu.train import sparse_embed, streaming_embed
+
+    plan = sparse_embed.build_plan(params, schema)
+    rest, tables = sparse_embed.split_params(params, plan)
+    emb0 = sparse_embed.init_state(tables, "lazy_adam", plan)
+    aux = {k: jnp.asarray(v) for k, v in
+           streaming_embed.make_host_prep(plan)(np.asarray(b["sparse"])).items()}
+    b = dict(b, **aux)
+    import flax
+
+    pert0 = jax.tree_util.tree_map(
+        jnp.zeros_like, flax.core.unfreeze(variables["perturbations"])
+    )
+
+    def step(state):
+        rest, tables, emb, opt, t = state
+
+        def loss_fn(rest_p, pert):
+            full = sparse_embed.merge_params(rest_p, tables, plan)
             return bce_with_logits(
-                model.apply({"params": p}, b, training=False), b["label"]
+                model.apply({"params": full, "perturbations": pert}, b,
+                            training=False),
+                b["label"],
             )
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt = tx.update(grads, opt, params)
-        return (optax.apply_updates(params, upd), opt)
+        _, (grest, gpert) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1)
+        )(rest, pert0)
+        upd, opt = tx.update(grest, opt, rest)
+        rest = optax.apply_updates(rest, upd)
+        tables2, emb2 = streaming_embed.apply_updates_fused(
+            tables, emb, plan, b, jax.tree_util.tree_leaves(gpert)[0],
+            lr=1e-3, step=t + 1, mm_bf16=True,
+        )
+        return (rest, tables2, emb2, opt, t + 1)
 
-    return time_chained(step, (params, tx.init(params)), iters)
+    return time_chained(
+        step, (rest, tables, emb0, tx.init(rest), jnp.int32(0)), iters
+    )
 
 
-def run(batch: int, iters: int) -> dict:
+def run(batch: int, iters: int, fused: bool = True,
+        fused_mlps: bool = False) -> dict:
+    """``fused=True`` (the round-3 bench default): the step-relevant phase
+    set is gather + dense + fused_bwd (scatter/update replaced); the old
+    phases are still timed for the comparison table."""
     kind, spec = _specs()
     rng = np.random.default_rng(0)
     phases, analytic = build_phases(batch, rng)
-    report = {"device": kind, "batch": batch, "phases": {}}
+    report = {"device": kind, "batch": batch, "fused": fused, "phases": {}}
+    step_phases = (
+        ("gather", "dense", "fused_bwd") if fused
+        else ("gather", "dense", "scatter", "update")
+    )
 
     for name, (fn, carry) in phases.items():
         ms = time_chained(fn, carry, iters)
@@ -272,13 +375,15 @@ def run(batch: int, iters: int) -> dict:
             )
         report["phases"][name] = entry
 
-    total_ms = full_step_ms(batch, rng, iters)
-    phase_sum = sum(p["ms"] for p in report["phases"].values())
+    total_ms = full_step_ms(batch, rng, iters, fused=fused,
+                            fused_mlps=fused_mlps)
+    phase_sum = sum(report["phases"][p]["ms"] for p in step_phases)
+    report["step_phases"] = list(step_phases)
     report["full_step_ms"] = round(total_ms, 3)
     report["phase_sum_ms"] = round(phase_sum, 3)
     report["residual_ms"] = round(total_ms - phase_sum, 3)
     if spec is not None:
-        sol_total = sum(p["sol_ms"] for p in report["phases"].values())
+        sol_total = sum(report["phases"][p]["sol_ms"] for p in step_phases)
         report["sol_step_ms"] = round(sol_total, 3)
         report["pct_sol_step"] = round(100 * sol_total / total_ms, 1)
         report["examples_per_s"] = round(batch / (total_ms / 1e3), 1)
@@ -290,8 +395,13 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16384)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--optax-path", action="store_true",
+                   help="time the round-2 optax composition instead of the "
+                   "fused default")
+    p.add_argument("--fused-mlps", action="store_true")
     args = p.parse_args(argv)
-    rep = run(args.batch, args.iters)
+    rep = run(args.batch, args.iters, fused=not args.optax_path,
+              fused_mlps=args.fused_mlps)
 
     w = sys.stderr.write
     w(f"device={rep['device']} batch={rep['batch']}\n")

@@ -8,7 +8,7 @@ from recsys_tpu.tools import roofline
 
 def test_roofline_phases_compile_and_run():
     phases, analytic = roofline.build_phases(64, np.random.default_rng(0))
-    assert set(phases) == {"gather", "dense", "scatter", "update"}
+    assert set(phases) == {"gather", "dense", "scatter", "update", "fused_bwd"}
     for name, (fn, carry) in phases.items():
         ms = roofline.time_chained(fn, carry, iters=2)
         assert ms > 0, name
