@@ -218,6 +218,49 @@ void build_seq_leave_last2(
   out_counts[1] = n_eval;
 }
 
+// -------------------------------------------- fused-update host prep
+// Sort/bucket one table group's vocab ids for the fused streaming update
+// kernel (recsys_tpu/train/streaming_embed.py semantics, bit-exact with
+// the numpy host_prep_group): counting sort by physical row (stable),
+// chunk-aligned per-block segments at the STATIC chunk count
+// nc_max = n/ch + nb.  O(n + vp) single pass — replaces a per-table
+// np.argsort on the Trainer's prefetch thread.
+void fused_prep(const int32_t* ids, int64_t n, int32_t pack, int32_t vp,
+                int32_t block, int32_t ch,
+                int32_t* ids2d /* (nc_max, ch) */,
+                int32_t* idx /* (nc_max*ch,) */,
+                int32_t* cptr /* (nb+1,) */) {
+  int32_t nb = (vp + block - 1) / block;
+  int64_t nc_max = n / ch + nb;
+  int32_t sentinel = nb * block * pack;
+  for (int64_t i = 0; i < nc_max * ch; ++i) {
+    ids2d[i] = sentinel;
+    idx[i] = 0;
+  }
+  std::vector<int64_t> start((size_t)vp + 1, 0);
+  for (int64_t i = 0; i < n; ++i) start[(size_t)(ids[i] / pack) + 1]++;
+  for (int64_t p = 0; p < vp; ++p) start[p + 1] += start[p];
+  std::vector<int64_t> seg_start((size_t)nb, 0);
+  cptr[0] = 0;
+  for (int32_t k = 0; k < nb; ++k) {
+    int64_t lo = (int64_t)k * block;
+    int64_t hi = lo + block < vp ? lo + block : vp;
+    seg_start[k] = start[lo];
+    int64_t seg = start[hi] - start[lo];
+    cptr[k + 1] = cptr[k] + (int32_t)((seg + ch - 1) / ch);
+  }
+  cptr[nb] = (int32_t)nc_max;  // padding chunks absorbed by the last block
+  std::vector<int64_t> cur(start.begin(), start.end() - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t p = ids[i] / pack;
+    int64_t s = cur[p]++;
+    int32_t k = p / block;
+    int64_t dst = (int64_t)cptr[k] * ch + (s - seg_start[k]);
+    ids2d[dst] = ids[i];
+    idx[dst] = (int32_t)i;
+  }
+}
+
 // ------------------------------------------------------------- shuffling
 // Deterministic Fisher-Yates permutation of [0, n).
 void shuffle_indices(int64_t n, uint64_t seed, int64_t* out) {

@@ -44,14 +44,27 @@ def _pad8(n: int) -> int:
 
 def host_prep_group(
     rows: np.ndarray, *, pack: int, vp: int, block: int = DEFAULT_BLOCK,
-    ch: int = DEFAULT_CH,
+    ch: int = DEFAULT_CH, use_native: bool = True,
 ):
     """Sort/bucket one group's vocab-row ids for the fused kernel.
 
     rows: (n,) int32 vocab ids (field offsets already applied).
     Returns (ids2d (nc_max, ch) int32, idx (nc_max*ch,) int32,
     cptr (nb+1,) int32) with the STATIC nc_max = n//ch + nb.
+
+    The native C++ counting-sort path (native/recsys_native.cc fused_prep,
+    bit-exact with this builder) runs when the library is available —
+    O(n + vp) single pass vs numpy's argsort, keeping the prefetch
+    thread ahead of sub-10ms device steps.
     """
+    if use_native:
+        try:
+            from recsys_tpu.data import native
+
+            if native.available():
+                return native.fused_prep(rows, pack, vp, block, ch)
+        except Exception:
+            pass
     n = rows.shape[0]
     nb = -(-vp // block)
     sentinel = np.int32(nb * block * pack)

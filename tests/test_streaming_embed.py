@@ -225,3 +225,27 @@ def test_trainer_fused_adam_rejects_mesh():
         Trainer(DLRM(schema, sparse_embed_grads=True),
                 embedding_optimizer="fused_adam",
                 mesh=make_mesh(data=4, model=2))
+
+
+def test_native_fused_prep_matches_numpy():
+    """native/recsys_native.cc fused_prep must be bit-exact with the numpy
+    host_prep_group (both stable counting/argsort by physical row)."""
+    from recsys_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    for n, vocab, pack, block, ch in ((1000, 5000, 8, 64, 128),
+                                      (513, 100, 4, 8, 32),
+                                      (256, 7, 1, 8, 64)):
+        vp = ((-(-vocab // pack)) + 7) // 8 * 8
+        ids = rng.integers(0, vocab, n).astype(np.int32)
+        a = host_prep_group(ids, pack=pack, vp=vp, block=block, ch=ch,
+                            use_native=False)
+        b = host_prep_group(ids, pack=pack, vp=vp, block=block, ch=ch,
+                            use_native=True)
+        for x, y, name in zip(a, b, ("ids2d", "idx", "cptr")):
+            np.testing.assert_array_equal(
+                x, y, err_msg=f"{name} n={n} vocab={vocab} pack={pack}")
