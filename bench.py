@@ -57,7 +57,8 @@ def _time_steps(step, state, batch):
 
 
 def bench_framework(rng, embed_update: str = "fused",
-                    embed_optimizer: str = "adam"):
+                    embed_optimizer: str = "adam",
+                    fused_mlps: bool = False):
     """The framework's DLRM step.  ``embed_update``:
 
     * 'fused' (default) — the production single-chip path: table backward +
@@ -83,7 +84,7 @@ def bench_framework(rng, embed_update: str = "fused",
     model = DLRM(schema, bottom_units=(512, 256, EMBED_DIM),
                  top_units=(1024, 1024, 512, 256),
                  compute_dtype=jnp.bfloat16,
-                 sparse_embed_grads=fused)
+                 sparse_embed_grads=fused, fused_mlps=fused_mlps)
     batch = _data(rng)
     variables = model.init(jax.random.PRNGKey(0), batch, training=False)
     params = variables["params"]
@@ -291,6 +292,9 @@ def main(argv=None):
         help="table update path: fused streaming Pallas kernel (default, "
         "exact dense-Adam semantics) or the plain XLA scatter + optax",
     )
+    p.add_argument("--fused-mlps", action="store_true",
+                   help="route the DLRM MLP towers through the fused "
+                   "Pallas MLP kernels (ops.mlp.FusedMLP)")
     p.add_argument(
         "--embed-optimizer", choices=["adam", "rowwise_adagrad"],
         default="adam",
@@ -322,7 +326,8 @@ def main(argv=None):
         }))
         return
     fw = bench_framework(rng, embed_update=args.embed_update,
-                         embed_optimizer=args.embed_optimizer)
+                         embed_optimizer=args.embed_optimizer,
+                         fused_mlps=args.fused_mlps)
     naive = bench_naive(rng)
     suffix = (
         "" if args.embed_optimizer == "adam"

@@ -461,8 +461,13 @@ def main(argv=None):
     p.add_argument("--maxlen", type=int, default=50)
     p.add_argument("--sample-num", type=int, default=0)
     p.add_argument("--embedding-optimizer", default="",
-                   choices=["", "lazy_adam", "rowwise_adagrad"],
-                   help="touched-rows-only table updates (ctr task)")
+                   choices=["", "lazy_adam", "rowwise_adagrad",
+                            "fused_adam", "fused_rowwise_adagrad"],
+                   help="table-update path (ctr task): lazy_adam/"
+                        "rowwise_adagrad are sparse touched-rows updates; "
+                        "fused_* route through the streaming Pallas "
+                        "backward+update kernel (single chip, exact dense "
+                        "semantics — the fast path)")
     p.add_argument("--embedding-engine", default="gather",
                    choices=["gather", "psum", "dedup", "a2a",
                             "a2a_pipelined"],

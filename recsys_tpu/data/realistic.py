@@ -50,11 +50,22 @@ def realistic_criteo(
     zipf_s: float = 1.05,
     latent_dim: int = 4,
     seed: int = 0,
+    teacher: str = "fm",
 ):
     """Criteo-shaped CTR data: Zipfian categories at reference vocab sizes,
-    heavy-tailed min-max-scaled dense features, and a planted logistic model
-    with first-order, pairwise-interaction, and dense terms (so FM-family
-    models have real interaction signal to find).
+    heavy-tailed min-max-scaled dense features, and a planted logistic
+    teacher.
+
+    ``teacher='fm'`` (default): first-order + FM-style pairwise latent
+    dots + dense linear.  NOTE this makes plain FM the BAYES-FORM model —
+    deep models can only approximate it, which is why they trail FM on
+    this variant at any epoch budget (round-3 forensics,
+    artifacts/protocol_ctr_fixed6.json).  ``teacher='mlp'`` plants
+    NON-multiplicative structure instead — a random 2-layer tanh MLP over
+    the concatenated field latents and dense features (plus a weak
+    first-order term), which FM's functional form cannot represent but
+    deep towers can: the variant that discriminates deep-model training
+    quality.
 
     Returns ``(schema, data, meta)`` where data has the standard
     dense/sparse/label arrays plus nothing else, and ``meta`` carries the
@@ -75,22 +86,46 @@ def realistic_criteo(
     dense = (raw - raw.min(0)) / (raw.max(0) - raw.min(0) + 1e-9)
     dense = dense.astype(np.float32)
 
-    # planted model: first-order per-id weights (variance decaying by field),
-    # pairwise interactions via per-id latent vectors, dense linear term
-    logit = np.zeros(num_examples, np.float64)
-    z_sum = np.zeros((num_examples, latent_dim), np.float64)
-    z_sq = np.zeros(num_examples, np.float64)
-    for j, v in enumerate(vocabs):
-        field_scale = 1.0 / np.sqrt(1.0 + j % 7)
-        w = rng.normal(0.0, field_scale, v)
-        logit += w[sparse[:, j]]
-        z = rng.normal(0.0, field_scale / np.sqrt(latent_dim), (v, latent_dim))
-        zj = z[sparse[:, j]]
-        z_sum += zj
-        z_sq += np.einsum("nk,nk->n", zj, zj)
-    inter = 0.5 * (np.einsum("nk,nk->n", z_sum, z_sum) - z_sq)
-    w_dense = rng.normal(0.0, 1.0, num_dense)
-    logit += 1.5 * inter + dense @ w_dense
+    if teacher == "fm":
+        # first-order per-id weights (variance decaying by field), pairwise
+        # interactions via per-id latent vectors, dense linear term
+        logit = np.zeros(num_examples, np.float64)
+        z_sum = np.zeros((num_examples, latent_dim), np.float64)
+        z_sq = np.zeros(num_examples, np.float64)
+        for j, v in enumerate(vocabs):
+            field_scale = 1.0 / np.sqrt(1.0 + j % 7)
+            w = rng.normal(0.0, field_scale, v)
+            logit += w[sparse[:, j]]
+            z = rng.normal(0.0, field_scale / np.sqrt(latent_dim),
+                           (v, latent_dim))
+            zj = z[sparse[:, j]]
+            z_sum += zj
+            z_sq += np.einsum("nk,nk->n", zj, zj)
+        inter = 0.5 * (np.einsum("nk,nk->n", z_sum, z_sum) - z_sq)
+        w_dense = rng.normal(0.0, 1.0, num_dense)
+        logit += 1.5 * inter + dense @ w_dense
+    elif teacher == "mlp":
+        # non-multiplicative teacher: random tanh MLP over the concatenated
+        # per-field latents + dense, plus a weak first-order term
+        f_in = len(vocabs) * latent_dim + num_dense
+        x = np.empty((num_examples, f_in), np.float32)
+        logit = np.zeros(num_examples, np.float64)
+        for j, v in enumerate(vocabs):
+            field_scale = 1.0 / np.sqrt(1.0 + j % 7)
+            logit += 0.3 * rng.normal(0.0, field_scale, v)[sparse[:, j]]
+            z = rng.normal(0.0, field_scale, (v, latent_dim))
+            x[:, j * latent_dim:(j + 1) * latent_dim] = z[sparse[:, j]]
+        x[:, -num_dense:] = dense
+        h = 64
+        w1 = rng.normal(0, 1.0 / np.sqrt(f_in), (f_in, h))
+        w2 = rng.normal(0, 1.0 / np.sqrt(h), (h, h))
+        w3 = rng.normal(0, 1.0 / np.sqrt(h), (h, 1))
+        a = np.tanh(x @ w1)
+        a = np.tanh(a @ w2)
+        logit += 3.0 * (a @ w3)[:, 0]
+        del x, a
+    else:
+        raise ValueError(f"unknown teacher {teacher!r}")
 
     logit = signal_std * (logit - logit.mean()) / (logit.std() + 1e-12)
     # intercept for the target positive rate: bisection on mean(sigmoid)

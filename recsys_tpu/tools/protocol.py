@@ -43,7 +43,8 @@ def _log(msg: str):
 def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
             epochs: int, seed: int = 0, patience: int | None = 1,
             lr: float = 1e-3, embedding_optimizer: str | None = None,
-            embedding_engine: str | None = None) -> dict:
+            embedding_engine: str | None = None,
+            teacher: str = "fm", embedding_lr: float | None = None) -> dict:
     """CTR AUC protocol: 80/20 split, 10% val, Adam 1e-3, EarlyStopping
     (val_loss, patience=1) — /root/reference/src/ctr/fm/train.py:32-34,58-67
     — on Zipfian Criteo-shaped data at reference vocab magnitudes.
@@ -62,7 +63,7 @@ def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
 
     t0 = time.time()
     schema, data, meta = realistic_criteo(
-        num_examples=rows, embed_dim=embed_dim, seed=seed
+        num_examples=rows, embed_dim=embed_dim, seed=seed, teacher=teacher
     )
     _log(f"generated {rows} rows in {time.time() - t0:.1f}s "
          f"(ctr={meta['ctr']:.3f}, oracle AUC={meta['oracle_auc']:.4f})")
@@ -91,6 +92,7 @@ def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
         out["embedding_engine"] = embedding_engine
     if embedding_optimizer:
         out["embedding_optimizer"] = embedding_optimizer
+    out["teacher"] = teacher
     if patience is None:
         out["early_stopping"] = "lifted"
     for name in models:
@@ -102,6 +104,8 @@ def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
             tkw["embedding_optimizer"] = embedding_optimizer
         if embedding_engine:
             kw["embed_kw"] = {"engine": embedding_engine, "mesh": mesh}
+        if embedding_optimizer and embedding_lr is not None:
+            tkw["embedding_lr"] = embedding_lr
         tr = Trainer(_ctr_model(name, schema, **kw), learning_rate=lr,
                      mesh=mesh, **tkw)
         hist = tr.fit(train, batch_size=batch_size, epochs=epochs,
@@ -178,7 +182,7 @@ def run_ncf(users: int, items: int, batch_size: int, epochs: int,
 
 
 def run_sasrec(users: int, items: int, maxlen: int, batch_size: int,
-               epochs: int, seed: int = 0) -> dict:
+               epochs: int, seed: int = 0, drift_scale: float = 6.0) -> dict:
     """SASRec leave-last-2 with 20 test negatives (/root/reference/src/match/
     utils/data_process.py:84-145 protocol), all-position training, at
     100k-user scale via the native C++ builder."""
@@ -192,7 +196,8 @@ def run_sasrec(users: int, items: int, maxlen: int, batch_size: int,
     from recsys_tpu.train.metrics import hit_rate_ndcg_at_k
 
     t0 = time.time()
-    ratings = realistic_ratings(num_users=users, num_items=items, seed=seed)
+    ratings = realistic_ratings(num_users=users, num_items=items, seed=seed,
+                                drift_scale=drift_scale)
     ni, train, val, test = build_sasrec_dataset(
         ratings, maxlen=maxlen, test_neg_num=20, all_positions=True,
         use_native="auto",
@@ -215,6 +220,7 @@ def run_sasrec(users: int, items: int, maxlen: int, batch_size: int,
     )
     return {
         "users": users, "items": ni, "maxlen": maxlen,
+        "drift_scale": drift_scale,
         "HR@10": round(float(hr), 4), "NDCG@10": round(float(ndcg), 4),
         "random_HR@10": round(10 / 21, 4),
     }
@@ -605,6 +611,16 @@ def main(argv=None):
                             "fused_adam", "fused_rowwise_adagrad"])
     p.add_argument("--embedding-engine", default=None,
                    choices=[None, "psum", "dedup", "a2a", "a2a_pipelined"])
+    p.add_argument("--drift-scale", type=float, default=6.0,
+                   help="sasrec generator sequence-drift strength; 2.0 is "
+                   "the non-saturated operating point (VERDICT r2 weak #5)")
+    p.add_argument("--embedding-lr", type=float, default=None,
+                   help="separate LR for the table optimizer (AdaGrad "
+                   "variants typically want ~1e-2)")
+    p.add_argument("--teacher", default="fm", choices=["fm", "mlp"],
+                   help="ctr generator teacher: 'fm' (FM-realizable; FM is "
+                   "the Bayes form) or 'mlp' (non-multiplicative; the "
+                   "deep-model discriminator)")
     p.add_argument("--out", default=None,
                    help="also write the JSON report here (verified "
                    "non-empty)")
@@ -615,13 +631,15 @@ def main(argv=None):
                       args.batch_size or 512, args.epochs or 10, args.seed,
                       patience=args.patience or None, lr=args.lr,
                       embedding_optimizer=args.embedding_optimizer,
-                      embedding_engine=args.embedding_engine)
+                      embedding_engine=args.embedding_engine,
+                      teacher=args.teacher, embedding_lr=args.embedding_lr)
     elif args.mode == "ncf":
         rep = run_ncf(args.users, args.items, args.batch_size or 1024,
                       args.epochs or 8, args.seed)
     elif args.mode == "sasrec":
         rep = run_sasrec(args.users, args.items, args.maxlen,
-                         args.batch_size or 256, args.epochs or 5, args.seed)
+                         args.batch_size or 256, args.epochs or 5, args.seed,
+                         drift_scale=args.drift_scale)
     elif args.mode == "seqret":
         rep = run_seqret(args.users, args.items, args.maxlen,
                          args.batch_size or 1024, args.epochs or 5, args.seed)
