@@ -79,10 +79,25 @@ def table_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh | None) -> dict:
-    """Device-put a host batch with its leading axis split over `data`."""
+    """Device-put a host batch with its leading axis split over `data`.
+
+    The ``embaux*`` keys (fused-update host prep: sorted-id chunks, gather
+    permutation, chunk pointers — train/streaming_embed.py) are GLOBAL
+    batch metadata, not per-example rows; they replicate instead.
+    """
     if mesh is None:
         return jax.device_put(batch)
     s = batch_sharding(mesh)
+    r = replicated(mesh)
+    if isinstance(batch, dict):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda x, sh=(r if k.startswith("embaux") else s):
+                jax.device_put(x, sh),
+                v,
+            )
+            for k, v in batch.items()
+        }
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -99,12 +99,24 @@ class Trainer:
                     f"{kinds}"
                 )
             if embedding_optimizer.startswith("fused") and mesh is not None:
-                raise ValueError(
-                    f"embedding_optimizer={embedding_optimizer!r} is the "
-                    "single-chip streaming path; under a mesh use the dense "
-                    "optax path (compiler-partitioned) or the sparse "
-                    "optimizers"
-                )
+                # the fused streaming path runs data-parallel (replicated
+                # tables; one cotangent all-gather; every device applies
+                # the identical update under shard_map) — but needs the
+                # whole table per device and the global batch on the host
+                if mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1:
+                    raise ValueError(
+                        f"embedding_optimizer={embedding_optimizer!r} "
+                        "supports single-chip and data-parallel meshes "
+                        "(model axis size 1); under a model axis use the "
+                        "dense optax path (compiler-partitioned) or the "
+                        "sparse optimizers"
+                    )
+                if jax.process_count() > 1:
+                    raise ValueError(
+                        f"embedding_optimizer={embedding_optimizer!r} "
+                        "host prep sorts the GLOBAL batch's ids — "
+                        "unavailable under multi-process data loading"
+                    )
         self.embedding_optimizer = embedding_optimizer
         self.embedding_lr = (
             embedding_lr if embedding_lr is not None else learning_rate
@@ -223,10 +235,10 @@ class Trainer:
             self._streaming_prep = streaming_embed.make_host_prep(
                 self._embed_plan
             )
-            return {"dense": self.tx.init(rest), "emb": emb}
-        emb = sparse_embed.init_state(
-            tables, self.embedding_optimizer, self._embed_plan
-        )
+        else:
+            emb = sparse_embed.init_state(
+                tables, self.embedding_optimizer, self._embed_plan
+            )
         if self.mesh is not None:
             # moments follow their table's row sharding (acc is 1-D: keep
             # the row axis of the table's spec only)
@@ -345,6 +357,7 @@ class Trainer:
                           else "rowwise_adagrad"),
                     mm_bf16=self.embedding_fused_bf16,
                     interpret=not use_pallas(),
+                    mesh=self.mesh,
                 )
             else:
                 new_tables, new_emb = sparse_embed.apply_updates(

@@ -29,6 +29,7 @@ CTR train loop (/root/reference/src/ctr/deep_fm/train.py:58-65).
 """
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -139,6 +140,7 @@ def apply_updates_fused(
     ch: int = DEFAULT_CH,
     mm_bf16: bool = True,
     interpret: bool = False,
+    mesh=None,
 ) -> tuple[dict, dict]:
     """One fused dense-Adam step over every table group.
 
@@ -148,11 +150,32 @@ def apply_updates_fused(
     init_state('lazy_adam') shapes — the moments ARE dense Adam's).
     ``kind='rowwise_adagrad'``: ``state`` is {name: {'acc'}} (init_state
     ('rowwise_adagrad')); at wd=0 the dense update equals the sparse one.
+
+    ``mesh`` (data-parallel only: model axis size 1) runs the same exact
+    math with the batch sharded over ``data``: ONE all-gather brings the
+    (n, D) cotangent into the global sorted order (N·D/step on the wire —
+    the same payload the sparse-optimizer path psums, and ~V·D/N times
+    less than psum-ing dense table grads), then every device applies the
+    identical streaming update to its replicated table copy under
+    ``shard_map``.  Semantics are bit-identical to the single-chip path.
     """
     from recsys_tpu.kernels.pallas.embedding_update_tpu import (
         fused_bwd_adam,
         fused_bwd_rowwise_adagrad,
     )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from recsys_tpu.parallel.mesh import MODEL_AXIS
+
+        if mesh.shape.get(MODEL_AXIS, 1) != 1:
+            raise ValueError(
+                "apply_updates_fused supports data-parallel meshes only "
+                f"(model axis size 1); got {dict(mesh.shape)}"
+            )
+        rep = NamedSharding(mesh, P())
+        tspec = P(MODEL_AXIS, None)  # size-1 axis: the whole table/device
 
     d = plan.embed_dim
     new_tables, new_state = {}, {}
@@ -164,24 +187,53 @@ def apply_updates_fused(
         if mm_bf16:
             # fuse the bf16 cast into the gather's output
             cot_sorted = cot_sorted.astype(jnp.bfloat16)
+        if mesh is not None:
+            # the global sorted permutation crosses data shards: constrain
+            # replicated so XLA emits one all-gather here, not inside the
+            # kernel's operands
+            cot_sorted = jax.lax.with_sharding_constraint(cot_sorted, rep)
         t = tables[name]
         kw = dict(
             block=min(block, t.shape[0]), ch=ch, pack=plan.packs[g], d=d,
             wd=weight_decay, mm_bf16=mm_bf16, interpret=interpret,
         )
+        aux_in = (cot_sorted, batch[f"embaux{g}_ids"],
+                  batch[f"embaux{g}_ptr"])
         if kind == "adam":
-            p, m, v = fused_bwd_adam(
-                t, state[name]["m"], state[name]["v"], cot_sorted,
-                batch[f"embaux{g}_ids"], batch[f"embaux{g}_ptr"], step,
-                lr=lr, **kw,
-            )
-            new_tables[name], new_state[name] = p, {"m": m, "v": v}
+            def run(t_, m_, v_, cs_, ids_, ptr_, step_, kw=kw):
+                return fused_bwd_adam(t_, m_, v_, cs_, ids_, ptr_, step_,
+                                      lr=lr, **kw)
+
+            table_in = (t, state[name]["m"], state[name]["v"])
+            call_in = table_in + aux_in + (step,)
         elif kind == "rowwise_adagrad":
-            p, acc = fused_bwd_rowwise_adagrad(
-                t, state[name]["acc"], cot_sorted,
-                batch[f"embaux{g}_ids"], batch[f"embaux{g}_ptr"], lr, **kw,
-            )
-            new_tables[name], new_state[name] = p, {"acc": acc}
+            def run(t_, a_, cs_, ids_, ptr_, lr_, kw=kw):
+                return fused_bwd_rowwise_adagrad(t_, a_, cs_, ids_, ptr_,
+                                                 lr_, **kw)
+
+            table_in = (t, state[name]["acc"])
+            call_in = table_in + aux_in + (jnp.float32(lr),)
         else:
             raise ValueError(f"unknown fused kind {kind!r}")
+
+        if mesh is None:
+            outs = run(*call_in)
+        else:
+            from jax import shard_map
+
+            n_t, n_rest = len(table_in), len(call_in) - len(table_in)
+            outs = shard_map(
+                run,
+                mesh=mesh,
+                in_specs=(tspec,) * n_t + (P(),) * n_rest,
+                out_specs=(tspec,) * n_t,
+                check_vma=False,
+            )(*call_in)
+
+        if kind == "adam":
+            new_tables[name] = outs[0]
+            new_state[name] = {"m": outs[1], "v": outs[2]}
+        else:
+            new_tables[name] = outs[0]
+            new_state[name] = {"acc": outs[1]}
     return new_tables, new_state

@@ -214,17 +214,74 @@ def test_trainer_fused_rowwise_adagrad_trains():
     assert hist["loss"][-1] < hist["loss"][0]
 
 
-def test_trainer_fused_adam_rejects_mesh():
+def test_trainer_fused_adam_rejects_model_axis():
+    """The fused path is single-chip or data-parallel; a model axis needs
+    per-shard host prep (the sharded engines + optax/sparse paths apply)."""
     from recsys_tpu.data.synthetic import synthetic_ctr
     from recsys_tpu.models.ctr.dlrm import DLRM
     from recsys_tpu.parallel.mesh import make_mesh
     from recsys_tpu.train.loop import Trainer
 
     schema, _ = synthetic_ctr(num_examples=8)
-    with pytest.raises(ValueError, match="single-chip"):
+    with pytest.raises(ValueError, match="model axis"):
         Trainer(DLRM(schema, sparse_embed_grads=True),
                 embedding_optimizer="fused_adam",
                 mesh=make_mesh(data=4, model=2))
+
+
+def test_trainer_fused_adam_dp_mesh_matches_single_chip():
+    """fused_adam on a pure-DP 8-device mesh is the SAME optimizer as the
+    single-chip path: one cotangent all-gather into global sorted order,
+    then every device applies the identical streaming update under
+    shard_map — so the loss trajectory and the final tables must match the
+    unsharded run to float tolerance (loss-mean reduction order is the
+    only difference)."""
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.train import sparse_embed
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=512, num_dense=4,
+                                 num_sparse=5, vocab_size=64, embed_dim=8,
+                                 seed=7)
+
+    def run(mesh):
+        tr = Trainer(
+            DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+                 sparse_embed_grads=True),
+            learning_rate=1e-2, embedding_optimizer="fused_adam",
+            embedding_fused_bf16=False, seed=11, mesh=mesh,
+        )
+        hist = tr.fit(data, batch_size=128, epochs=2, verbose=False)
+        _, tables = sparse_embed.split_params(tr.state.params,
+                                              tr._embed_plan)
+        return hist["loss"], {k: np.asarray(v) for k, v in tables.items()}
+
+    loss1, tab1 = run(None)
+    loss8, tab8 = run(make_mesh(data=8, model=1))
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    for k in tab1:
+        np.testing.assert_allclose(tab8[k], tab1[k], rtol=1e-4, atol=1e-7)
+
+
+def test_trainer_fused_rowwise_adagrad_dp_mesh_trains():
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=512, num_dense=4,
+                                 num_sparse=5, vocab_size=64, embed_dim=8,
+                                 seed=7)
+    tr = Trainer(
+        DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+             sparse_embed_grads=True),
+        learning_rate=1e-2, embedding_optimizer="fused_rowwise_adagrad",
+        seed=11, mesh=make_mesh(data=8, model=1),
+    )
+    hist = tr.fit(data, batch_size=128, epochs=3, verbose=False)
+    assert hist["loss"][-1] < hist["loss"][0]
 
 
 def test_native_fused_prep_matches_numpy():
