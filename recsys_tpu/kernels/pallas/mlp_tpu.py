@@ -80,7 +80,10 @@ def _bwd_kernel(x_ref, g_ref, *refs, n_layers, mm_dtype, precision):
     dh = _cast(g_ref[...], mm_dtype)
     for i in range(n_layers - 1, -1, -1):
         if i < n_layers - 1:
-            dh = _cast(dh * (hs[i + 1] > 0), mm_dtype)
+            # relu mask: compare in f32 — Mosaic cannot lower a bf16 cmpf
+            # on this target ("Target does not support this comparison")
+            mask = hs[i + 1].astype(jnp.float32) > 0.0
+            dh = _cast(dh * mask.astype(mm_dtype), mm_dtype)
         dw_refs[i][...] += lax.dot_general(
             hs[i], dh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,

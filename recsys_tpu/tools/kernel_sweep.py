@@ -101,11 +101,20 @@ def sweep_topk(
             items = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
 
             def run(fn):
+                # a single variant failing (e.g. a tunnel compile-payload
+                # limit on the largest shapes) must not lose the sweep: the
+                # error string becomes the measurement and the JSON still
+                # lands
                 def step(q):
                     v, _ = fn(q, items)
                     return q * (1.0 + 1e-30 * jnp.sum(v))
 
-                return round(time_chained(step, q, iters), 3)
+                try:
+                    return round(time_chained(step, q, iters), 3)
+                except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                    msg = f"error: {type(e).__name__}: {e}"
+                    sys.stderr.write(msg[:200] + "\n")
+                    return msg[:200]
 
             row = {"q": q_n, "n": n, "d": d, "k": k}
             row["xla_full_ms"] = run(lambda q, it: topk_scores(q, it, k=k))
@@ -118,13 +127,18 @@ def sweep_topk(
                         q, it, k=k, tile_n=t, interpret=interpret
                     )
                 )
-            best_pallas = min(
+            pallas_ok = [
                 v for kk, v in row.items()
-                if isinstance(kk, str) and kk.startswith("pallas")
-            )
-            row["speedup_vs_best_xla"] = round(
-                min(row["xla_full_ms"], row["xla_stream_ms"]) / best_pallas, 3
-            )
+                if kk.startswith("pallas") and isinstance(v, float)
+            ]
+            xla_ok = [
+                v for kk in ("xla_full_ms", "xla_stream_ms")
+                if isinstance((v := row[kk]), float)
+            ]
+            if pallas_ok and xla_ok:
+                row["speedup_vs_best_xla"] = round(
+                    min(xla_ok) / min(pallas_ok), 3
+                )
             rows.append(row)
             sys.stderr.write(f"{row}\n")
             sys.stderr.flush()

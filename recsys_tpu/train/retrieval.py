@@ -24,14 +24,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 from recsys_tpu.parallel.mesh import pad_to_multiple, MODEL_AXIS
 
 
-# Fused-kernel win band (round-2 on-chip sweep, tools/kernel_sweep.py topk +
-# retrieval-shape probes): with tile_n=2048 the Pallas streaming kernel beats
-# the materialised einsum+lax.top_k 1.10x at N=20k, 1.57-1.60x at N=100k and
-# 1.84x at N=1M (Q=1024, D {32,64,128}, k=10; indices exact).  The selection
-# loop unrolls k times, so large k blows compile/step cost — stay on XLA
-# there.  (Round-1 measured the kernel losing at its then-default tile_n=512;
-# the tile retune flipped it.)
+# Fused-kernel verdict (re-measured round 3, artifacts/kernel_sweep_topk.*):
+# with tile_n=2048 the Pallas streaming kernel is a WASH against the
+# materialised einsum+lax.top_k — 1.02x/0.95x at N=100k, 1.00x at N=1M
+# (Q=1024, k=10; indices exact).  The round-2 sweep on the same shapes had
+# measured 1.21x/1.05x/1.00x (the 1.6-1.84x once quoted here came from
+# uncommitted probes and did not reproduce); the XLA path got ~2x faster
+# between rounds, eating the margin.  Policy as for the FM kernel: a wash
+# ships opt-in, XLA is the default — set RECSYS_TPU_FUSED_TOPK=1 (or call
+# kernels.pallas.topk_tpu.topk_scores_pallas directly) to opt in.  The
+# kernel's real win remains memory: it never materialises the (Q, N) score
+# matrix, so it serves as the large-catalog fallback where XLA's full
+# einsum would OOM (topk_scores_streaming covers that on the XLA side).
 _FUSED_TOPK_MAX_K = 16
+
+
+def _fused_topk_enabled() -> bool:
+    import os
+
+    return os.environ.get("RECSYS_TPU_FUSED_TOPK", "") in ("1", "true")
 
 
 def topk_scores(
@@ -42,15 +53,17 @@ def topk_scores(
 ):
     """Dense brute-force top-k: (Q, D) x (N, D) -> (values, indices) (Q, k).
 
-    On TPU, small-k calls route to the fused Pallas score+select kernel,
-    which streams the catalog through VMEM and never materialises the
-    (Q, N) score matrix (see the win-band note above)."""
+    With RECSYS_TPU_FUSED_TOPK=1, small-k TPU calls route to the fused
+    Pallas score+select kernel, which streams the catalog through VMEM and
+    never materialises the (Q, N) score matrix (see the verdict note
+    above — speed is a wash vs XLA as of round 3, so it ships opt-in)."""
     if normalize:
         query_embs = _l2(query_embs)
         item_embs = _l2(item_embs)
     from recsys_tpu.kernels import use_pallas
 
-    if use_pallas() and k <= _FUSED_TOPK_MAX_K and item_embs.shape[0] > k:
+    if (use_pallas() and _fused_topk_enabled()
+            and k <= _FUSED_TOPK_MAX_K and item_embs.shape[0] > k):
         from recsys_tpu.kernels.pallas.topk_tpu import topk_scores_pallas
 
         return topk_scores_pallas(query_embs, item_embs, k=k)
