@@ -108,9 +108,17 @@ class FusedMLP(nn.Module):
     with relu, no BN, no dropout (parity-tested); matmuls use bf16 inputs
     with f32 accumulation by default (``mm_bf16=False`` for exact f32).
     Param names are ``kernel_i``/``bias_i`` (bias shaped (1, D)).
-    Measured on the DLRM bench (v5e, B=16384): bottom 13->512->256->16
-    and top 367->1024->1024->512->256->1 — see BASELINE.md dense-phase
-    rows.
+
+    Measured verdict (v5e, B=16384, round 3) — **opt-in, not default**:
+    standalone the fused forward beats XLA's layer-by-layer path (bottom
+    13->512->256->16: 1.90 vs 2.56 ms; top 367->1024x2->512->256->1: 2.66
+    vs 2.82 ms) but the recompute backward loses on the deep top tower
+    (3.58 vs 2.84 ms) and END-TO-END the bench regresses 1.88M -> 1.25M
+    ex/s: inside the full step XLA fuses the embedding gather / dot-
+    interaction / loss into the MLP matmul chain, and the opaque
+    pallas_call boundary forfeits more than the kernel saves.  Same
+    policy as the FM kernel: ships for composition experiments
+    (DLRM(fused_mlps=True), bench.py --fused-mlps), XLA by default.
     """
 
     hidden_units: Sequence[int]
