@@ -225,12 +225,19 @@ void build_seq_leave_last2(
 // chunk-aligned per-block segments at the STATIC chunk count
 // nc_max = n/ch + nb.  O(n + vp) single pass — replaces a per-table
 // np.argsort on the Trainer's prefetch thread.
+//
+// shards > 1 (model-axis row-sharded tables, vp % shards == 0): block
+// fences align to shard boundaries — shard s owns rows [s*vs, (s+1)*vs)
+// in nb_s = ceil(vs/block) blocks, nb = shards*nb_s total, so each model
+// shard consumes cptr[s*nb_s .. (s+1)*nb_s] against its local table.
 void fused_prep(const int32_t* ids, int64_t n, int32_t pack, int32_t vp,
-                int32_t block, int32_t ch,
+                int32_t block, int32_t ch, int32_t shards,
                 int32_t* ids2d /* (nc_max, ch) */,
                 int32_t* idx /* (nc_max*ch,) */,
                 int32_t* cptr /* (nb+1,) */) {
-  int32_t nb = (vp + block - 1) / block;
+  int32_t vs = vp / shards;
+  int32_t nb_s = (vs + block - 1) / block;
+  int32_t nb = shards * nb_s;
   int64_t nc_max = n / ch + nb;
   int32_t sentinel = nb * block * pack;
   for (int64_t i = 0; i < nc_max * ch; ++i) {
@@ -243,8 +250,10 @@ void fused_prep(const int32_t* ids, int64_t n, int32_t pack, int32_t vp,
   std::vector<int64_t> seg_start((size_t)nb, 0);
   cptr[0] = 0;
   for (int32_t k = 0; k < nb; ++k) {
-    int64_t lo = (int64_t)k * block;
-    int64_t hi = lo + block < vp ? lo + block : vp;
+    int32_t s = k / nb_s;
+    int64_t lo = (int64_t)s * vs + (int64_t)(k - s * nb_s) * block;
+    int64_t shard_hi = (int64_t)(s + 1) * vs;
+    int64_t hi = lo + block < shard_hi ? lo + block : shard_hi;
     seg_start[k] = start[lo];
     int64_t seg = start[hi] - start[lo];
     cptr[k + 1] = cptr[k] + (int32_t)((seg + ch - 1) / ch);
@@ -254,7 +263,8 @@ void fused_prep(const int32_t* ids, int64_t n, int32_t pack, int32_t vp,
   for (int64_t i = 0; i < n; ++i) {
     int32_t p = ids[i] / pack;
     int64_t s = cur[p]++;
-    int32_t k = p / block;
+    int32_t sh = p / vs;
+    int32_t k = sh * nb_s + (p - sh * vs) / block;
     int64_t dst = (int64_t)cptr[k] * ch + (s - seg_start[k]);
     ids2d[dst] = ids[i];
     idx[dst] = (int32_t)i;

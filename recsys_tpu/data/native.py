@@ -62,7 +62,7 @@ def _load():
     lib.fused_prep.restype = None
     lib.fused_prep.argtypes = [
         i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p,
     ]
     _lib = lib
     return lib
@@ -214,26 +214,29 @@ def shuffle_indices(n: int, seed: int = 0) -> np.ndarray:
     return rng.permutation(n).astype(np.int64)
 
 
-def fused_prep(ids: np.ndarray, pack: int, vp: int, block: int, ch: int):
+def fused_prep(ids: np.ndarray, pack: int, vp: int, block: int, ch: int,
+               shards: int = 1):
     """Native sort/bucket for the fused embedding-update kernel.
 
     Bit-exact with train/streaming_embed.host_prep_group (stable counting
-    sort); RuntimeError when the library is unavailable — callers fall
-    back to the numpy builder.
+    sort; ``shards`` > 1 aligns block fences to model-axis shard
+    boundaries); RuntimeError when the library is unavailable — callers
+    fall back to the numpy builder.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     ids = np.ascontiguousarray(ids, np.int32)
     n = len(ids)
-    nb = -(-vp // block)
+    vs = vp // shards
+    nb = shards * (-(-vs // block))
     nc_max = max(n // ch + nb, 1)
     ids2d = np.empty((nc_max, ch), np.int32)
     idx = np.empty((nc_max * ch,), np.int32)
     cptr = np.empty((nb + 1,), np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.fused_prep(
-        ids.ctypes.data_as(i32p), n, pack, vp, block, ch,
+        ids.ctypes.data_as(i32p), n, pack, vp, block, ch, shards,
         ids2d.ctypes.data_as(i32p), idx.ctypes.data_as(i32p),
         cptr.ctypes.data_as(i32p),
     )

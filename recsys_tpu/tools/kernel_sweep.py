@@ -87,7 +87,8 @@ def sweep_interactions(
 
 
 def sweep_topk(
-    iters: int, interpret: bool = False, quick: bool = False
+    iters: int, interpret: bool = False, quick: bool = False,
+    sizes: tuple[int, ...] | None = None,
 ) -> list[dict]:
     from recsys_tpu.kernels.pallas.topk_tpu import topk_scores_pallas
     from recsys_tpu.train.retrieval import topk_scores, topk_scores_streaming
@@ -95,7 +96,9 @@ def sweep_topk(
     rows = []
     rng = np.random.default_rng(0)
     q_n, k = (128, 10) if quick else (1024, 10)
-    for n in (2048,) if quick else (100_000, 1_000_000):
+    if sizes is None:
+        sizes = (2048,) if quick else (100_000, 1_000_000)
+    for n in sizes:
         for d in ((64,) if quick else (64, 128)):
             q = jnp.asarray(rng.standard_normal((q_n, d)), jnp.float32)
             items = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
@@ -156,7 +159,13 @@ def main(argv=None):
                    help="also write the JSON report here; the write is "
                    "VERIFIED non-empty (round-2's topk artifact silently "
                    "landed as a 0-byte file via shell redirection)")
+    p.add_argument("--sizes", default=None,
+                   help="comma-separated catalog sizes for the topk sweep "
+                   "(splits the run across sessions: tunnel compiles "
+                   "dominate and all four default points exceed 10 min)")
     args = p.parse_args(argv)
+    sizes = (tuple(int(s) for s in args.sizes.split(","))
+             if args.sizes else None)
 
     rep = {"device": jax.devices()[0].device_kind}
     if args.mode in ("interactions", "all"):
@@ -164,7 +173,8 @@ def main(argv=None):
             args.iters, args.interpret, args.quick
         )
     if args.mode in ("topk", "all"):
-        rep["topk"] = sweep_topk(args.iters, args.interpret, args.quick)
+        rep["topk"] = sweep_topk(args.iters, args.interpret, args.quick,
+                                 sizes=sizes)
     payload = json.dumps(rep)
     if args.out:
         import os

@@ -45,7 +45,7 @@ def _pad8(n: int) -> int:
 
 def host_prep_group(
     rows: np.ndarray, *, pack: int, vp: int, block: int = DEFAULT_BLOCK,
-    ch: int = DEFAULT_CH, use_native: bool = True,
+    ch: int = DEFAULT_CH, shards: int = 1, use_native: bool = True,
 ):
     """Sort/bucket one group's vocab-row ids for the fused kernel.
 
@@ -53,25 +53,44 @@ def host_prep_group(
     Returns (ids2d (nc_max, ch) int32, idx (nc_max*ch,) int32,
     cptr (nb+1,) int32) with the STATIC nc_max = n//ch + nb.
 
+    ``shards`` > 1 (model-axis row sharding, vp % shards == 0) aligns the
+    block boundaries to the shard boundaries: shard ``s`` owns physical
+    rows [s*vs, (s+1)*vs) split into nb_s = ceil(vs/block) blocks, so
+    device ``s`` can run the SAME streaming kernel over its local table
+    with ``cptr[s*nb_s : (s+1)*nb_s + 1]`` and ids shifted by
+    ``s*vs*pack`` — see apply_updates_fused.  The sort key (physical row)
+    is unchanged; only where the block fences fall moves.
+
     The native C++ counting-sort path (native/recsys_native.cc fused_prep,
     bit-exact with this builder) runs when the library is available —
     O(n + vp) single pass vs numpy's argsort, keeping the prefetch
     thread ahead of sub-10ms device steps.
     """
+    if shards > 1 and vp % shards:
+        raise ValueError(f"vp={vp} not divisible by shards={shards}")
     if use_native:
         try:
             from recsys_tpu.data import native
 
             if native.available():
-                return native.fused_prep(rows, pack, vp, block, ch)
+                return native.fused_prep(rows, pack, vp, block, ch,
+                                         shards=shards)
         except Exception:
             pass
     n = rows.shape[0]
-    nb = -(-vp // block)
+    vs = vp // shards
+    nb_s = -(-vs // block)
+    nb = shards * nb_s
     sentinel = np.int32(nb * block * pack)
     prow = rows // pack
     order = np.argsort(prow, kind="stable").astype(np.int32)
-    ptr = np.searchsorted(prow[order], np.arange(nb + 1) * block)
+    # block fences: within each shard, nb_s fences at s*vs + j*block
+    # (clamped to the shard end); shards=1 reduces to arange(nb+1)*block
+    s_idx = np.arange(nb + 1) // nb_s
+    j_idx = np.arange(nb + 1) - s_idx * nb_s
+    bounds = np.minimum(s_idx * vs + j_idx * block, np.minimum(
+        (s_idx + 1) * vs, vp))
+    ptr = np.searchsorted(prow[order], bounds)
     seg_lens = np.diff(ptr)
     chunks = -(-seg_lens // ch)
     cptr = np.concatenate([[0], np.cumsum(chunks)]).astype(np.int32)
@@ -90,24 +109,40 @@ def host_prep_group(
     return ids2d, idx, cptr
 
 
+def group_shards(plan: EmbedPlan, g: int, model_shards: int) -> int:
+    """Shard count the fused path uses for group ``g``: the model-axis
+    size when the packed table's physical rows divide it (the same
+    condition parallel/sharding_rules.py uses to row-shard the param),
+    else 1 (the table stays replicated and every device runs the full
+    update identically)."""
+    pack = plan.packs[g]
+    vocab = max(plan.group_vocab[g], 1)
+    vp = _pad8(-(-vocab // pack))
+    return model_shards if model_shards > 1 and vp % model_shards == 0 else 1
+
+
 def make_host_prep(plan: EmbedPlan, block: int = DEFAULT_BLOCK,
-                   ch: int = DEFAULT_CH):
+                   ch: int = DEFAULT_CH, model_shards: int = 1):
     """Returns fn(sparse (B, F) np.int32) -> {aux key: np.ndarray}.
 
     The aux keys ride the batch dict into the jitted train step (static
     shapes for a fixed batch size).  Runs on the host — put it behind the
-    prefetch thread, as Trainer.fit does.
+    prefetch thread, as Trainer.fit does.  ``model_shards`` must match the
+    mesh's model-axis size handed to apply_updates_fused: it aligns each
+    group's block fences to the row-shard boundaries (see
+    :func:`host_prep_group`).
     """
     geoms = []
     for g in range(len(plan.table_names)):
         pack = plan.packs[g]
         vocab = max(plan.group_vocab[g], 1)
         vp = _pad8(-(-vocab // pack))
-        geoms.append((pack, vp))
+        shards = group_shards(plan, g, model_shards)
+        geoms.append((pack, vp, min(block, vp // shards), shards))
 
     def prep(sparse: np.ndarray) -> dict:
         aux = {}
-        for g, (pack, vp) in enumerate(geoms):
+        for g, (pack, vp, blk, shards) in enumerate(geoms):
             cols = plan.group_cols[g]
             offs = plan.group_offsets[g]
             rows = np.concatenate([
@@ -115,7 +150,7 @@ def make_host_prep(plan: EmbedPlan, block: int = DEFAULT_BLOCK,
                 for j, off in zip(cols, offs)
             ])
             ids2d, idx, cptr = host_prep_group(
-                rows, pack=pack, vp=vp, block=block, ch=ch
+                rows, pack=pack, vp=vp, block=blk, ch=ch, shards=shards
             )
             aux[f"embaux{g}_ids"] = ids2d
             aux[f"embaux{g}_idx"] = idx
