@@ -122,7 +122,12 @@ def _dot_sel_matrix(f: int, self_interaction: bool):
     Equivalent to scatter + transpose-add (diagonal doubles), but as a
     static-coefficient MATMUL — measured 1.89 vs 2.70 ms standalone on the
     DLRM bench interaction bwd (scatter serialises, the matmul rides the
-    MXU)."""
+    MXU).
+
+    Returns a NUMPY array: caching a jnp value here would capture the first
+    grad trace's constant and poison every later trace in the process with
+    UnexpectedTracerError (the round-3 `bench.py --breakdown` crash) — the
+    caller converts per trace, which XLA folds to the same device constant."""
     import numpy as np
 
     rows, cols = np.tril_indices(f, k=0 if self_interaction else -1)
@@ -133,12 +138,12 @@ def _dot_sel_matrix(f: int, self_interaction: bool):
         else:
             s[n, i * f + j] = 1.0
             s[n, j * f + i] = 1.0
-    return jnp.asarray(s)
+    return s
 
 
 def _dot_bwd(self_interaction, interpret, x, g):
     b, f, d = x.shape
-    sel = _dot_sel_matrix(f, self_interaction).astype(g.dtype)
+    sel = jnp.asarray(_dot_sel_matrix(f, self_interaction)).astype(g.dtype)
     sym = (g @ sel).reshape(b, f, f)
     dx = jax.lax.dot_general(
         sym, x, (((2,), (1,)), ((0,), (0,))),
