@@ -235,6 +235,8 @@ void fused_prep(const int32_t* ids, int64_t n, int32_t pack, int32_t vp,
                 int32_t* ids2d /* (nc_max, ch) */,
                 int32_t* idx /* (nc_max*ch,) */,
                 int32_t* cptr /* (nb+1,) */) {
+  if (shards < 1 || vp % shards) return;  // caller validates; never scatter
+                                          // past the buffers on bad shards
   int32_t vs = vp / shards;
   int32_t nb_s = (vs + block - 1) / block;
   int32_t nb = shards * nb_s;

@@ -226,6 +226,11 @@ def fused_prep(ids: np.ndarray, pack: int, vp: int, block: int, ch: int,
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
+    if shards < 1 or vp % shards:
+        # the C++ builder truncates vs = vp/shards, and rows past
+        # shards*vs would scatter past the output buffers — reject here,
+        # not just in host_prep_group (this is a public API)
+        raise ValueError(f"vp={vp} not divisible by shards={shards}")
     ids = np.ascontiguousarray(ids, np.int32)
     n = len(ids)
     vs = vp // shards

@@ -66,7 +66,8 @@ class Trainer:
           streaming Pallas kernel (train/streaming_embed.py): the
           single-chip speed story — measured 7.7 -> 3.6 ms backward+update
           on the DLRM bench.  Host id-sorting rides the prefetch thread.
-          Single-chip only (raises under a mesh)."""
+          Runs on any (data, model) mesh and multi-process (see
+          streaming_embed.apply_updates_fused for the SPMD forms)."""
         self.model = model
         self.loss_fn = loss_fn
         # decoupled (AdamW-style) weight decay everywhere, matching the
@@ -98,25 +99,16 @@ class Trainer:
                     f"embedding_optimizer={embedding_optimizer!r} not in "
                     f"{kinds}"
                 )
-            if embedding_optimizer.startswith("fused") and mesh is not None:
-                # the fused streaming path runs data-parallel (replicated
-                # tables; one cotangent all-gather; every device applies
-                # the identical update under shard_map) — but needs the
-                # whole table per device and the global batch on the host
-                if mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1:
-                    raise ValueError(
-                        f"embedding_optimizer={embedding_optimizer!r} "
-                        "supports single-chip and data-parallel meshes "
-                        "(model axis size 1); under a model axis use the "
-                        "dense optax path (compiler-partitioned) or the "
-                        "sparse optimizers"
-                    )
-                if jax.process_count() > 1:
-                    raise ValueError(
-                        f"embedding_optimizer={embedding_optimizer!r} "
-                        "host prep sorts the GLOBAL batch's ids — "
-                        "unavailable under multi-process data loading"
-                    )
+            # The fused streaming path runs on any (data, model) mesh:
+            # data axis — one cotangent all-gather into global sorted
+            # order, every device applies the identical update; model
+            # axis — row-sharded tables update shard-locally against
+            # shard-aligned host-prep fences (streaming_embed.
+            # apply_updates_fused).  Multi-process works under the
+            # Trainer's standing multihost data contract (every process
+            # passes the GLOBAL arrays to fit, as shard_batch's global
+            # device_put already requires), so host prep sorts the same
+            # global batch identically on each process.
         self.embedding_optimizer = embedding_optimizer
         self.embedding_lr = (
             embedding_lr if embedding_lr is not None else learning_rate
@@ -125,6 +117,7 @@ class Trainer:
         # f32 accumulation (default, pairs with bf16 compute) or exact f32
         self.embedding_fused_bf16 = embedding_fused_bf16
         self._embed_plan = None
+        self._fused_shards = None
         self._pert_treedef = None
         self._pert_tail = None  # (F, D) of the perturbation tap
         self._pert_dtype = None
@@ -232,8 +225,31 @@ class Trainer:
                 else "rowwise_adagrad",
                 self._embed_plan,
             )
+            # derive each table's model-shard count from its PLACED
+            # NamedSharding (not a re-derived predicate — ADVICE r3 #4:
+            # prep fences and real placement cannot drift), and hand the
+            # same map to host prep and the device update
+            n_model = (
+                self.mesh.shape.get(mesh_lib.MODEL_AXIS, 1)
+                if self.mesh is not None else 1
+            )
+
+            def shards_of(t):
+                sh = getattr(t, "sharding", None)
+                if (
+                    n_model > 1
+                    and isinstance(sh, NamedSharding)
+                    and len(sh.spec) >= 1
+                    and sh.spec[0] == mesh_lib.MODEL_AXIS
+                ):
+                    return n_model
+                return 1
+
+            self._fused_shards = {
+                name: shards_of(t) for name, t in tables.items()
+            }
             self._streaming_prep = streaming_embed.make_host_prep(
-                self._embed_plan
+                self._embed_plan, shards_by_name=self._fused_shards
             )
         else:
             emb = sparse_embed.init_state(
@@ -358,6 +374,7 @@ class Trainer:
                     mm_bf16=self.embedding_fused_bf16,
                     interpret=not use_pallas(),
                     mesh=self.mesh,
+                    shards_by_name=self._fused_shards,
                 )
             else:
                 new_tables, new_emb = sparse_embed.apply_updates(

@@ -114,7 +114,12 @@ def group_shards(plan: EmbedPlan, g: int, model_shards: int) -> int:
     size when the packed table's physical rows divide it (the same
     condition parallel/sharding_rules.py uses to row-shard the param),
     else 1 (the table stays replicated and every device runs the full
-    update identically)."""
+    update identically).
+
+    Fallback predicate only — the Trainer derives the per-table count from
+    each placed table leaf's ACTUAL NamedSharding (loop.py `_fused_shards`)
+    and threads it through ``shards_by_name``, so prep fences cannot drift
+    from real placement if the sharding rule changes."""
     pack = plan.packs[g]
     vocab = max(plan.group_vocab[g], 1)
     vp = _pad8(-(-vocab // pack))
@@ -122,22 +127,27 @@ def group_shards(plan: EmbedPlan, g: int, model_shards: int) -> int:
 
 
 def make_host_prep(plan: EmbedPlan, block: int = DEFAULT_BLOCK,
-                   ch: int = DEFAULT_CH, model_shards: int = 1):
+                   ch: int = DEFAULT_CH, model_shards: int = 1,
+                   shards_by_name: dict | None = None):
     """Returns fn(sparse (B, F) np.int32) -> {aux key: np.ndarray}.
 
     The aux keys ride the batch dict into the jitted train step (static
     shapes for a fixed batch size).  Runs on the host — put it behind the
-    prefetch thread, as Trainer.fit does.  ``model_shards`` must match the
-    mesh's model-axis size handed to apply_updates_fused: it aligns each
-    group's block fences to the row-shard boundaries (see
-    :func:`host_prep_group`).
+    prefetch thread, as Trainer.fit does.  ``shards_by_name`` (preferred:
+    table name -> shard count, derived from the placed tables' actual
+    NamedShardings) or ``model_shards`` (the predicate fallback) must match
+    what apply_updates_fused runs with: it aligns each group's block fences
+    to the row-shard boundaries (see :func:`host_prep_group`).
     """
     geoms = []
     for g in range(len(plan.table_names)):
         pack = plan.packs[g]
         vocab = max(plan.group_vocab[g], 1)
         vp = _pad8(-(-vocab // pack))
-        shards = group_shards(plan, g, model_shards)
+        if shards_by_name is not None:
+            shards = shards_by_name.get(plan.table_names[g], 1)
+        else:
+            shards = group_shards(plan, g, model_shards)
         geoms.append((pack, vp, min(block, vp // shards), shards))
 
     def prep(sparse: np.ndarray) -> dict:
@@ -176,6 +186,7 @@ def apply_updates_fused(
     mm_bf16: bool = True,
     interpret: bool = False,
     mesh=None,
+    shards_by_name: dict | None = None,
 ) -> tuple[dict, dict]:
     """One fused dense-Adam step over every table group.
 
@@ -186,35 +197,43 @@ def apply_updates_fused(
     ``kind='rowwise_adagrad'``: ``state`` is {name: {'acc'}} (init_state
     ('rowwise_adagrad')); at wd=0 the dense update equals the sparse one.
 
-    ``mesh`` (data-parallel only: model axis size 1) runs the same exact
-    math with the batch sharded over ``data``: ONE all-gather brings the
-    (n, D) cotangent into the global sorted order (N·D/step on the wire —
-    the same payload the sparse-optimizer path psums, and ~V·D/N times
-    less than psum-ing dense table grads), then every device applies the
-    identical streaming update to its replicated table copy under
-    ``shard_map``.  Semantics are bit-identical to the single-chip path.
+    ``mesh`` runs the same exact math SPMD.  Data axis: ONE all-gather
+    brings the (n, D) cotangent into the global sorted order (N·D/step on
+    the wire — the same payload the sparse-optimizer path psums, and
+    ~V·D/N times less than psum-ing dense table grads).  Model axis: each
+    row-sharded table group updates shard-locally — host prep aligned the
+    block fences to shard boundaries, so shard ``s`` runs the SAME
+    streaming kernel over its local (vs, wide) rows with the
+    ``cptr[s*nb_s : (s+1)*nb_s + 1]`` chunk window and ids rebased by
+    ``s*vs*pack`` (groups whose row count doesn't divide the axis stay
+    replicated and update identically on every device).  ``shards_by_name``
+    (table name -> shard count, from the placed tables' NamedShardings)
+    must match the prep's; omitted, the :func:`group_shards` predicate is
+    used.  Semantics are identical to the single-chip path up to f32
+    summation order at shard-fence chunk splits.
     """
     from recsys_tpu.kernels.pallas.embedding_update_tpu import (
         fused_bwd_adam,
         fused_bwd_rowwise_adagrad,
     )
 
+    n_model = 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from recsys_tpu.parallel.mesh import MODEL_AXIS
 
-        if mesh.shape.get(MODEL_AXIS, 1) != 1:
-            raise ValueError(
-                "apply_updates_fused supports data-parallel meshes only "
-                f"(model axis size 1); got {dict(mesh.shape)}"
-            )
+        n_model = mesh.shape.get(MODEL_AXIS, 1)
         rep = NamedSharding(mesh, P())
-        tspec = P(MODEL_AXIS, None)  # size-1 axis: the whole table/device
 
     d = plan.embed_dim
     new_tables, new_state = {}, {}
     for g, name in enumerate(plan.table_names):
+        pack = plan.packs[g]
+        if shards_by_name is not None:
+            sg = shards_by_name.get(name, 1)
+        else:
+            sg = group_shards(plan, g, n_model)
         cols = plan.group_cols[g]
         cot = jnp.concatenate([pert_grad[:, j, :] for j in cols])  # (n, d)
         idx = batch[f"embaux{g}_idx"]
@@ -228,8 +247,10 @@ def apply_updates_fused(
             # kernel's operands
             cot_sorted = jax.lax.with_sharding_constraint(cot_sorted, rep)
         t = tables[name]
+        vs = t.shape[0] // sg  # local rows per model shard
+        blk = min(block, vs)
         kw = dict(
-            block=min(block, t.shape[0]), ch=ch, pack=plan.packs[g], d=d,
+            block=blk, ch=ch, pack=pack, d=d,
             wd=weight_decay, mm_bf16=mm_bf16, interpret=interpret,
         )
         aux_in = (cot_sorted, batch[f"embaux{g}_ids"],
@@ -251,12 +272,40 @@ def apply_updates_fused(
         else:
             raise ValueError(f"unknown fused kind {kind!r}")
 
+        n_t = len(table_in)
+        if sg > 1 and mesh is None:
+            raise ValueError(
+                f"group {name!r} prepped for {sg} model shards but no mesh "
+                "was passed — shards_by_name must match the mesh"
+            )
+        if sg > 1:
+            # model-axis row-sharded group: rebase ids to the local shard
+            # and hand each shard its cptr window (fences are shard-aligned
+            # by host prep, so the window's chunks index the REPLICATED
+            # ids2d/cot arrays directly — no chunk rebasing needed)
+            nb_s = -(-vs // blk)
+
+            def run(*a, run_=run, nb_s=nb_s, vs=vs, pack=pack, n_t=n_t):
+                s = jax.lax.axis_index(MODEL_AXIS)
+                ids_l = a[n_t + 1] - s * (vs * pack)
+                ptr_l = jax.lax.dynamic_slice_in_dim(
+                    a[n_t + 2], s * nb_s, nb_s + 1
+                )
+                return run_(*a[:n_t + 1], ids_l, ptr_l, *a[n_t + 3:])
+
         if mesh is None:
             outs = run(*call_in)
         else:
             from jax import shard_map
 
-            n_t, n_rest = len(table_in), len(call_in) - len(table_in)
+            # sharded groups split their table rows over the model axis;
+            # replicated groups (and any group under a model-less mesh)
+            # carry the whole table per device.  P(MODEL_AXIS, None) over a
+            # size-1 model axis is the round-3 DP form — kept as is.
+            tspec = (
+                P(MODEL_AXIS, None) if (sg > 1 or n_model == 1) else P()
+            )
+            n_rest = len(call_in) - n_t
             outs = shard_map(
                 run,
                 mesh=mesh,

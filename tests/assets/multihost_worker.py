@@ -1,4 +1,11 @@
-"""Two-process worker: one Trainer epoch on a hybrid DCN/ICI mesh."""
+"""Two-process worker: one Trainer epoch on a hybrid DCN/ICI mesh.
+
+Engines covered: the compiler-partitioned gather engine, the explicit a2a
+engine, and the fused streaming embedding update (fused_adam) — the latter
+under the Trainer's standing multihost data contract (every process passes
+the GLOBAL arrays to fit; host prep sorts the same global batch identically
+on each process, and the cotangent all-gather crosses DCN like any data-axis
+collective)."""
 import sys
 
 import jax
@@ -19,13 +26,18 @@ assert jax.process_count() == 2
 
 schema, data = synthetic_ctr(num_examples=256, num_dense=2, num_sparse=4,
                              vocab_size=64, embed_dim=4, seed=11)
-for engine_kw in ({}, {"embed_kw": {"engine": "a2a", "mesh": mesh,
-                                    "num_groups": 1,
-                                    "capacity_factor": None}}):
+cases = [
+    ("gather", {}, {}),
+    ("a2a", {"embed_kw": {"engine": "a2a", "mesh": mesh, "num_groups": 1,
+                          "capacity_factor": None}}, {}),
+    ("fused", {"sparse_embed_grads": True},
+     {"embedding_optimizer": "fused_adam", "embedding_fused_bf16": False}),
+]
+for engine, model_kw, train_kw in cases:
     tr = Trainer(DLRM(schema, bottom_units=(16, 4), top_units=(16,),
-                      **engine_kw),
-                 learning_rate=1e-2, mesh=mesh, seed=3)
+                      **model_kw),
+                 learning_rate=1e-2, mesh=mesh, seed=3, **train_kw)
     h = tr.fit(data, batch_size=64, epochs=1, verbose=False)
     print(f"RESULT proc={jax.process_index()} "
-          f"engine={'a2a' if engine_kw else 'gather'} "
+          f"engine={engine} "
           f"loss={h['loss'][0]:.6f}", flush=True)
