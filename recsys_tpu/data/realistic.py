@@ -573,3 +573,96 @@ def realistic_multitask(
         "oracle_auc_ctcvr": _auc(ctcvr, p_ctr * p_cvr),
     }
     return schema, data, meta
+
+
+def realistic_census(
+    num_train: int = 200_000,
+    num_test: int = 100_000,
+    target_income: float = 0.12,
+    target_marital: float = 0.33,
+    signal_std: float = 1.4,
+    task_corr: float = 0.5,
+    seed: int = 0,
+):
+    """Census-income-FORMAT two-task frames (the MMoE/PLE protocol shape,
+    /root/reference/src/ctr/utils/data_process.py:229-294) with planted
+    learnable structure.
+
+    Emits (train_df, test_df, meta): dataframes in the exact 42-column
+    census layout data/census.py::create_census_dataset parses — string
+    categoricals for the 32 feature columns, 7 numeric columns, the
+    ``income_50k`` label column as the reference's ``' - 50000.'`` /
+    ``' 50000+.'`` strings, ``marital_stat`` carrying task 2 as the
+    ``'Never married'`` category, and a throwaway ``instance_weight``.
+    Task logits share a latent component (weight ``task_corr``) plus
+    task-specific components over the same category assignments, so both
+    heads are learnable from the embedded features; meta carries the
+    oracle AUC per head.
+    """
+    from recsys_tpu.data.census import COLUMNS, DENSE_COLS, DROP_COLS
+    from recsys_tpu.data.census import LABEL_INCOME, LABEL_MARITAL
+
+    rng = np.random.default_rng(seed)
+    n = num_train + num_test
+    feat_cols = [
+        c for c in COLUMNS
+        if c not in DENSE_COLS + DROP_COLS + [LABEL_INCOME, LABEL_MARITAL]
+    ]
+    # census-like small enum vocabularies (3..52 categories per column)
+    vocabs = [int(v) for v in rng.integers(3, 53, len(feat_cols))]
+    codes = np.empty((n, len(feat_cols)), np.int32)
+    for j, v in enumerate(vocabs):
+        codes[:, j] = rng.choice(v, size=n, p=_zipf_probs(v, 1.05, rng))
+    dense_raw = rng.lognormal(1.0, 1.2, (n, len(DENSE_COLS)))
+
+    def planted(seed_off):
+        r = np.random.default_rng(seed + 500 + seed_off)
+        logit = np.zeros(n, np.float64)
+        for j, v in enumerate(vocabs):
+            logit += r.normal(0, 1.0 / np.sqrt(1 + j % 5), v)[codes[:, j]]
+        z = (dense_raw - dense_raw.mean(0)) / (dense_raw.std(0) + 1e-9)
+        return logit + z @ r.normal(0, 0.6, len(DENSE_COLS))
+
+    shared = planted(0)
+    l_inc = task_corr * shared + (1 - task_corr) * planted(1)
+    l_mar = task_corr * shared + (1 - task_corr) * planted(2)
+
+    def calibrate(logit, rate):
+        logit = signal_std * (logit - logit.mean()) / (logit.std() + 1e-12)
+        lo, hi = -20.0, 20.0
+        for _ in range(50):
+            c = 0.5 * (lo + hi)
+            if (1 / (1 + np.exp(-(logit + c)))).mean() < rate:
+                lo = c
+            else:
+                hi = c
+        return 1 / (1 + np.exp(-(logit + 0.5 * (lo + hi))))
+
+    p_inc = calibrate(l_inc, target_income)
+    p_mar = calibrate(l_mar, target_marital)
+    y_inc = (rng.random(n) < p_inc).astype(np.int32)
+    y_mar = (rng.random(n) < p_mar).astype(np.int32)
+
+    df = pd.DataFrame(index=np.arange(n))
+    for c, raw_col in zip(DENSE_COLS, dense_raw.T):
+        df[c] = np.round(raw_col * 10).astype(np.int64)
+    for j, c in enumerate(feat_cols):
+        df[c] = pd.Series(codes[:, j]).map(lambda k, c=c: f" {c}_v{k}")
+    df["instance_weight"] = np.round(rng.uniform(100, 5000, n), 2)
+    # the reference's exact label strings (data_process.py:241-252 strips
+    # whitespace and matches '50000+' / 'Never married')
+    df[LABEL_INCOME] = np.where(y_inc == 1, " 50000+.", " - 50000.")
+    others = [" Married-civilian spouse present", " Divorced", " Widowed",
+              " Separated", " Married-spouse absent"]
+    df[LABEL_MARITAL] = np.where(
+        y_mar == 1, " Never married",
+        np.asarray(others)[rng.integers(0, len(others), n)],
+    )
+    df = df[COLUMNS]
+    meta = {
+        "income_rate": float(y_inc.mean()),
+        "marital_rate": float(y_mar.mean()),
+        "oracle_auc_income": _auc(y_inc, p_inc),
+        "oracle_auc_marital": _auc(y_mar, p_mar),
+    }
+    return df.iloc[:num_train], df.iloc[num_train:], meta

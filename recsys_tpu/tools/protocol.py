@@ -18,6 +18,7 @@ BASELINE.md (round-1 VERDICT item 3).
     python -m recsys_tpu.tools.protocol multitask [--rows 1000000] [--models esmm,mmoe,ple]
     python -m recsys_tpu.tools.protocol mind    [--users 100000]   # multi-interest recall@10
     python -m recsys_tpu.tools.protocol dssm    [--users 100000] [--models dssm,senet,fm_match]
+    python -m recsys_tpu.tools.protocol census  [--rows 200000]   # census-format two-task via data/census.py
 
 Each mode prints one JSON object with the measured metrics (and the
 generator's oracle ceiling where defined).  Round-3 quality-forensics
@@ -318,6 +319,31 @@ def run_din(users: int, items: int, maxlen: int, batch_size: int,
     }
 
 
+def _warm_process(schema, data, batch_size: int):
+    """One throwaway 2-batch fit so per-model ``seconds`` exclude the
+    process's one-time costs (backend/PJRT init, first-jit machinery) —
+    they otherwise land entirely on whichever model runs first."""
+    from recsys_tpu.models.ctr.mmoe import MMoE
+    from recsys_tpu.train import losses
+    from recsys_tpu.train.loop import Trainer
+
+    t0 = time.time()
+    small = {k: v[: 2 * batch_size] for k, v in data.items()}
+    label_keys = [k for k in small if k not in ("dense", "sparse")]
+
+    def loss_fn(o, b):
+        return losses.multi_task_bce(
+            o, {t: b[k] for t, k in zip(("t0", "t1"), label_keys)}
+        )
+
+    tr = Trainer(MMoE(schema, task_names=("t0", "t1")), loss_fn=loss_fn)
+    tr.fit(small, batch_size=batch_size, epochs=1, val_data=small,
+           verbose=False)
+    tr.predict(small)
+    _log(f"process warmup {time.time() - t0:.1f}s (excluded from per-model "
+         "seconds)")
+
+
 def run_multitask(rows: int, models: list[str], batch_size: int,
                   epochs: int, seed: int = 0) -> dict:
     """ESMM/MMoE/PLE two-head AUC at scale (reference protocol:
@@ -341,6 +367,13 @@ def run_multitask(rows: int, models: list[str], batch_size: int,
     cut = int(rows * 0.8)
     train = {k: v[idx[:cut]] for k, v in data.items()}
     test = {k: v[idx[cut:]] for k, v in data.items()}
+
+    # Warm the process ONCE before any timed model: the first model in a
+    # process absorbs backend init + first-compile machinery (measured by
+    # order swap: whichever of esmm/mmoe runs first costs ~2-4x the other;
+    # round-3's 'esmm 210.9s vs mmoe 49.3s' was exactly this — esmm is the
+    # FASTEST of the three once order-controlled; VERDICT r3 weak #7).
+    _warm_process(schema, train, batch_size)
 
     out = {"rows": rows,
            "oracle_auc_ctr": round(meta["oracle_auc_ctr"], 4),
@@ -381,6 +414,84 @@ def run_multitask(rows: int, models: list[str], batch_size: int,
             if from_logits:
                 pr = np.asarray(jax.nn.sigmoid(pr))
             row[f"auc_{label}"] = round(float(auc_exact(pr, test[label])), 4)
+        out["models"][name] = row
+        _log(f"{name}: {row}")
+        del tr
+    return out
+
+
+def run_census(rows: int, models: list[str], batch_size: int,
+               epochs: int, seed: int = 0) -> dict:
+    """The census-income two-task protocol END TO END through the
+    data/census.py loader (/root/reference/src/ctr/utils/data_process.py:
+    229-294): census-FORMAT csv files (generated at scale with planted
+    structure, data/realistic.realistic_census) -> create_census_dataset
+    (string label parsing, per-column factorize, 1:1 val/test split of the
+    test file) -> MMoE/PLE two-head training -> AUC(income), AUC(marital).
+    Closes the one reference protocol never exercised at scale
+    (VERDICT r3 missing #4)."""
+    import os
+    import tempfile
+
+    import jax
+
+    from recsys_tpu.data.census import create_census_dataset
+    from recsys_tpu.data.realistic import realistic_census
+    from recsys_tpu.train import losses
+    from recsys_tpu.train.loop import Trainer
+    from recsys_tpu.train.metrics import auc_exact
+
+    t0 = time.time()
+    n_test = max(rows // 2, 1)
+    train_df, test_df, meta = realistic_census(num_train=rows,
+                                               num_test=n_test, seed=seed)
+    tmp = tempfile.mkdtemp(prefix="census_")
+    train_path = os.path.join(tmp, "census-income.data")
+    test_path = os.path.join(tmp, "census-income.test")
+    train_df.to_csv(train_path, index=False, header=False)
+    test_df.to_csv(test_path, index=False, header=False)
+    _log(f"generated census files ({rows}+{n_test} rows) in "
+         f"{time.time() - t0:.1f}s (oracle income "
+         f"{meta['oracle_auc_income']:.4f}, marital "
+         f"{meta['oracle_auc_marital']:.4f})")
+
+    t0 = time.time()
+    schema, train, val, test = create_census_dataset(train_path, test_path)
+    _log(f"loader parsed + encoded in {time.time() - t0:.1f}s "
+         f"({len(schema.sparse)} sparse, {len(schema.dense)} dense fields)")
+
+    _warm_process(schema, train, batch_size)
+
+    out = {"rows": rows,
+           "oracle_auc_income": round(meta["oracle_auc_income"], 4),
+           "oracle_auc_marital": round(meta["oracle_auc_marital"], 4),
+           "models": {}}
+    for name in models:
+        t0 = time.time()
+        if name == "mmoe":
+            from recsys_tpu.models.ctr.mmoe import MMoE as M
+        else:
+            from recsys_tpu.models.ctr.ple import PLE as M
+        model = M(schema, task_names=("income", "marital"))
+
+        def loss_fn(o, b):
+            return losses.multi_task_bce(
+                o, {"income": b["label_income"],
+                    "marital": b["label_marital"]}
+            )
+
+        tr = Trainer(model, loss_fn=loss_fn, learning_rate=1e-3)
+        hist = tr.fit(train, batch_size=batch_size, epochs=epochs,
+                      val_data=val, early_stopping_patience=1,
+                      verbose=False)
+        preds = tr.predict(test)
+        row = {"epochs_ran": len(hist["loss"]),
+               "seconds": round(time.time() - t0, 1)}
+        for head in ("income", "marital"):
+            pr = np.asarray(jax.nn.sigmoid(preds[head]))
+            row[f"auc_{head}"] = round(
+                float(auc_exact(pr, test[f"label_{head}"])), 4
+            )
         out["models"][name] = row
         _log(f"{name}: {row}")
         del tr
@@ -592,7 +703,8 @@ _DEFAULT_CTR_MODELS = "fm,deepfm,widedeep,deepcrossing,dcn,dlrm,autoint"
 def main(argv=None):
     p = argparse.ArgumentParser(prog="recsys_tpu.tools.protocol")
     p.add_argument("mode", choices=["ctr", "ncf", "sasrec", "seqret",
-                                    "din", "multitask", "mind", "dssm"])
+                                    "din", "multitask", "mind", "dssm",
+                                    "census"])
     p.add_argument("--rows", type=int, default=1_000_000)
     p.add_argument("--users", type=int, default=100_000)
     p.add_argument("--items", type=int, default=20_000)
@@ -653,6 +765,12 @@ def main(argv=None):
         rep = run_multitask(args.rows, models.split(","),
                             args.batch_size or 512, args.epochs or 5,
                             args.seed)
+    elif args.mode == "census":
+        models = (args.models if args.models != _DEFAULT_CTR_MODELS
+                  else "mmoe,ple")
+        rep = run_census(args.rows if args.rows != 1_000_000 else 200_000,
+                         models.split(","), args.batch_size or 512,
+                         args.epochs or 5, args.seed)
     elif args.mode == "mind":
         rep = run_mind(args.users, args.items, args.maxlen,
                        args.batch_size or 1024, args.epochs or 5, args.seed)

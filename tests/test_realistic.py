@@ -113,3 +113,40 @@ def test_realistic_ratings_sequence_signal():
                     shared_agree += 1
     assert shared_total > 50
     assert shared_agree / shared_total > 0.7  # strong shared ordering
+
+
+def test_realistic_census_roundtrips_through_loader():
+    """realistic_census emits census-FORMAT csv frames that
+    data/census.py::create_census_dataset parses end-to-end: labels decode
+    from the reference's strings, features factorize, oracle ceilings are
+    meaningfully above 0.5 (the planted signal is learnable)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from recsys_tpu.data.census import COLUMNS, create_census_dataset
+    from recsys_tpu.data.realistic import realistic_census
+
+    train_df, test_df, meta = realistic_census(num_train=3000, num_test=1000,
+                                               seed=5)
+    assert list(train_df.columns) == COLUMNS
+    assert meta["oracle_auc_income"] > 0.75
+    assert meta["oracle_auc_marital"] > 0.75
+    tmp = tempfile.mkdtemp()
+    trp = os.path.join(tmp, "census-income.data")
+    tep = os.path.join(tmp, "census-income.test")
+    train_df.to_csv(trp, index=False, header=False)
+    test_df.to_csv(tep, index=False, header=False)
+    schema, train, val, test = create_census_dataset(trp, tep)
+    assert len(train["label_income"]) == 3000
+    assert len(val["label_income"]) + len(test["label_income"]) == 1000
+    # the loader's string matching must recover the generator's labels
+    np.testing.assert_allclose(train["label_income"].mean(),
+                               meta["income_rate"], atol=0.05)
+    np.testing.assert_allclose(train["label_marital"].mean(),
+                               meta["marital_rate"], atol=0.05)
+    assert train["sparse"].shape[1] == 32 and train["dense"].shape[1] == 7
+    # marital_stat and income_50k must NOT leak into the feature columns
+    names = [f.name for f in schema.sparse]
+    assert "marital_stat" not in names and "income_50k" not in names
