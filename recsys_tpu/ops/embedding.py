@@ -78,16 +78,32 @@ class StackedEmbedding(nn.Module):
       masked-local-gather + all-reduce (the compiler-partitioned path).
     * ``'psum'`` / ``'dedup'`` — the explicit shard_map psum engine
       (parallel/embedding_sharding.sharded_gather[_dedup]).
-    * ``'a2a'`` / ``'a2a_pipelined'`` — explicit all-to-all ID exchange,
-      the production path for tables too large to replicate: per-shard
-      comm is O(N/S ids + N*D/S vectors) instead of the psum engine's
-      O(N*D).  All of a group's fields exchange in ONE a2a pair, so
-      ``num_groups=1`` gives one exchange per step.  Dropped-id counts are
-      sown into the ``'a2a_stats'`` collection every call — the Trainer
-      surfaces them as ``history['a2a_dropped']``; ``capacity_factor=None``
-      is the exact (never-drop) mode.  Replaces the reference's replicated
-      per-device tables (/root/reference/src/ctr/deep_fm/model.py:31-38
-      under MirroredStrategy).
+    * ``'a2a'`` — explicit all-to-all ID exchange, the production path for
+      tables too large to replicate.  Measured comm accounting
+      (tools/comm_bytes.py, artifacts/comm_bytes.json): at cf=1.25 it moves
+      ~1.29x the psum engine's bytes through all-to-all, a ~2/cf wire
+      advantage once the all-reduce's ~2x ring amplification is priced in;
+      its production wins are owner-local gather/scatter (no full-output
+      partial-sum buffer per model shard) and dedup'd hot ids.  All of a
+      group's fields exchange in ONE a2a pair, so ``num_groups=1`` gives
+      one exchange per step.  Dropped-id counts are sown into the
+      ``'a2a_stats'`` collection every call — the Trainer surfaces them as
+      ``history['a2a_dropped']``; ``capacity_factor=None`` is the exact
+      (never-drop) mode.  Replaces the reference's replicated per-device
+      tables (/root/reference/src/ctr/deep_fm/model.py:31-38 under
+      MirroredStrategy).
+    * ``'a2a_pipelined'`` — same exchange split into ``a2a_chunks`` id
+      chunks scheduled so chunk k's return a2a can overlap chunk k+1's
+      local gather (independence proven at the jaxpr level,
+      tests/test_pipeline_structure.py).  Since round 4 it moves the SAME
+      total bytes as 'a2a' (per-chunk capacity), so choosing it costs
+      nothing on the wire — but the overlap win itself CANNOT be measured
+      on this environment's virtual CPU mesh, so treat it as
+      experimental-pending-hardware: pick 'a2a' by default; try
+      'a2a_pipelined' on a real multi-chip slice where the profiler can
+      show the gather/a2a overlap, and keep it only if the step gets
+      faster.  Finite-cf drop accounting is per chunk (the a2a_dropped
+      counter still surfaces every drop).
     """
 
     schema: FeatureSchema

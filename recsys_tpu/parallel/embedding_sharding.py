@@ -288,11 +288,17 @@ def sharded_gather_a2a_pipelined(
     level by tests/test_pipeline_structure.py: each return exchange
     transitively depends on its own id exchange only.
 
-    Capacity: each chunk's owner buckets are sized from the UNCHUNKED id
-    count — ``cap = a2a_capacity(n, S, capacity_factor)`` — so chunking can
-    never drop an id the single-shot engine would have served, whatever the
-    per-chunk owner skew (round-1 advisor finding).  Chunk padding uses the
-    id -1, which consumes no capacity (it is not bucketed to owner 0).
+    Capacity: each chunk's owner buckets are sized from the CHUNK's id
+    count — ``cap = a2a_capacity(ceil(n/k), S, capacity_factor)`` — so the
+    pipeline moves the SAME total bytes as the single-shot engine (the
+    round-3 comm-bytes audit caught the earlier unchunked-n sizing moving
+    k x the single-shot payload, which made the engine strictly worse on
+    the wire).  Drop semantics under a finite ``capacity_factor`` are
+    therefore PER CHUNK: a bursty chunk can overflow an owner bucket the
+    whole-batch sizing would have absorbed — the ``a2a_dropped`` counter
+    surfaces it, and ``capacity_factor=None`` (cap = chunk length) remains
+    exactly never-dropping at any skew.  Chunk padding uses the id -1,
+    which consumes no capacity (it is not bucketed to owner 0).
 
     ``dedup=True`` dedups the ids BEFORE chunking (hot ids cross the wire
     once, exactly like the single-shot engine; the -1 pad slots of the
@@ -311,7 +317,9 @@ def sharded_gather_a2a_pipelined(
         pad = pad_to_multiple(n, k) - n
         flat = jnp.concatenate([flat, jnp.full(pad, -1, flat.dtype)])
         chunks = flat.reshape(k, -1)
-        cap = a2a_capacity(n, n_model, capacity_factor)
+        # per-CHUNK capacity: total wire bytes match the single-shot
+        # engine (see docstring; finite-cf drops become per-chunk)
+        cap = a2a_capacity(chunks.shape[1], n_model, capacity_factor)
         d = table_shard.shape[-1]
 
         v_local = table_shard.shape[0]

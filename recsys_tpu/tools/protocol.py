@@ -87,6 +87,11 @@ def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
         n = len(jax.devices())
         mesh = make_mesh(data=max(1, n // 2), model=min(2, n))
 
+    if mesh is None:
+        # one-time process costs otherwise land on the first model's
+        # `seconds` (round 3's fm showed 572s vs 70s for the second model)
+        _warm_process(schema, train, batch_size)
+
     out = {"rows": rows, "oracle_auc": round(meta["oracle_auc"], 4),
            "ctr": round(meta["ctr"], 4), "models": {}}
     if embedding_engine:
@@ -330,13 +335,14 @@ def _warm_process(schema, data, batch_size: int):
     t0 = time.time()
     small = {k: v[: 2 * batch_size] for k, v in data.items()}
     label_keys = [k for k in small if k not in ("dense", "sparse")]
+    tasks = tuple(f"t{i}" for i in range(len(label_keys)))
 
     def loss_fn(o, b):
         return losses.multi_task_bce(
-            o, {t: b[k] for t, k in zip(("t0", "t1"), label_keys)}
+            o, {t: b[k] for t, k in zip(tasks, label_keys)}
         )
 
-    tr = Trainer(MMoE(schema, task_names=("t0", "t1")), loss_fn=loss_fn)
+    tr = Trainer(MMoE(schema, task_names=tasks), loss_fn=loss_fn)
     tr.fit(small, batch_size=batch_size, epochs=1, val_data=small,
            verbose=False)
     tr.predict(small)
