@@ -199,3 +199,39 @@ def test_sdpa_causal_backward(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_hot_gather_pallas_matches_packed_gather(rng):
+    """The Zipf-split probe's hot-path kernel (one-hot matmul gather from a
+    VMEM hot buffer + lane-compress) must reproduce the XLA packed gather
+    on the hot subset, with sentinel slots producing zeros."""
+    from recsys_tpu.kernels.embedding import packed_gather
+    from recsys_tpu.tools.gather_split_probe import (
+        CH, hot_gather_pallas, host_split,
+    )
+    from recsys_tpu.tools import gather_split_probe as gsp
+
+    ids = gsp._zipf_ids(np.random.default_rng(3), 1.1, 2048)
+    hot_rows, hot_idx2d, inv, cold_ids, n_hot, n_cold = host_split(ids, 128)
+    vp = -(-gsp.VOCAB // gsp.PACK)
+    vp += (-vp) % 8
+    table = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.05, 0.05, (vp, gsp.WIDE)),
+        jnp.float32,
+    )
+    hot_buf = jnp.take(table, jnp.asarray(hot_rows), axis=0)
+    # exact f32 path: bit-parity with the XLA gather
+    hot_out = hot_gather_pallas(hot_buf, jnp.asarray(hot_idx2d),
+                                pack=gsp.PACK, d=gsp.D, mm_bf16=False,
+                                interpret=True)
+    both = jnp.concatenate(
+        [hot_out[:n_hot], packed_gather(table, jnp.asarray(cold_ids),
+                                        gsp.PACK, gsp.D)], axis=0)
+    got = np.asarray(jnp.take(both, jnp.asarray(inv), axis=0))
+    want = np.asarray(packed_gather(table, jnp.asarray(ids), gsp.PACK,
+                                    gsp.D))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    # sentinel padding rows emit zeros
+    if n_hot % CH:
+        pad = np.asarray(hot_out[n_hot:])
+        np.testing.assert_array_equal(pad, np.zeros_like(pad))
