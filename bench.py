@@ -14,9 +14,25 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: remote (tunnelled) compiles dominate this
+# script's wall time — a warm cache turns the ~8-10 min cold run into the
+# ~1 min measurement it actually is.  Harmless on any backend; opt out
+# with RECSYS_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("RECSYS_TPU_NO_COMPILE_CACHE"):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -282,6 +298,27 @@ def bench_sasrec(rng, *, maxlen=512, batch=256, steps=20):
     return fused, ref_style
 
 
+def _emit(payload: dict):
+    """Print the bench JSON line AND append it to artifacts/bench.log with
+    a timestamp — every cited number stays re-runnable/auditable (VERDICT
+    r3 next-step #4: stdout alone left bench.log holding only a JAX
+    warning while STATUS cited it)."""
+    import os
+
+    line = json.dumps(payload)
+    print(line)
+    try:
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts")
+        os.makedirs(art, exist_ok=True)
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+        dev = jax.devices()[0].device_kind
+        with open(os.path.join(art, "bench.log"), "a") as f:
+            f.write(f"{stamp} device={dev} {line}\n")
+    except OSError:
+        pass  # read-only checkout: stdout already carried the result
+
+
 def main(argv=None):
     import argparse
 
@@ -318,12 +355,12 @@ def main(argv=None):
     if args.model == "sasrec":
         maxlen = 512  # flash-attention regime (auto threshold S>=512)
         fused, ref_style = bench_sasrec(rng, maxlen=maxlen)
-        print(json.dumps({
+        _emit({
             "metric": f"sasrec_maxlen{maxlen}_train_examples_per_s",
             "value": round(fused, 1),
             "unit": "examples/s/chip",
             "vs_baseline": round(fused / ref_style, 3),
-        }))
+        })
         return
     fw = bench_framework(rng, embed_update=args.embed_update,
                          embed_optimizer=args.embed_optimizer,
@@ -333,16 +370,12 @@ def main(argv=None):
         "" if args.embed_optimizer == "adam"
         else f"_{args.embed_optimizer}"
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"dlrm_criteo_train_examples_per_s{suffix}",
-                "value": round(fw, 1),
-                "unit": "examples/s/chip",
-                "vs_baseline": round(fw / naive, 3),
-            }
-        )
-    )
+    _emit({
+        "metric": f"dlrm_criteo_train_examples_per_s{suffix}",
+        "value": round(fw, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(fw / naive, 3),
+    })
 
 
 if __name__ == "__main__":
