@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -39,6 +40,24 @@ import numpy as np
 
 def _log(msg: str):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: protocol runs re-compile identical
+    programs across seeds/teachers, and remote (tunnelled) compiles
+    dominate their wall time.  Opt out: RECSYS_TPU_NO_COMPILE_CACHE=1."""
+    if os.environ.get("RECSYS_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    try:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
@@ -707,6 +726,7 @@ _DEFAULT_CTR_MODELS = "fm,deepfm,widedeep,deepcrossing,dcn,dlrm,autoint"
 
 
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="recsys_tpu.tools.protocol")
     p.add_argument("mode", choices=["ctr", "ncf", "sasrec", "seqret",
                                     "din", "multitask", "mind", "dssm",
