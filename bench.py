@@ -340,6 +340,11 @@ def main(argv=None):
         "traffic of Adam) and reports under its own metric name",
     )
     p.add_argument(
+        "--maxlen", type=int, default=512,
+        help="SASRec history length (512 = flash threshold; 2048 probes "
+        "the long-context regime VERDICT r3 #6 asks for)",
+    )
+    p.add_argument(
         "--breakdown", action="store_true",
         help="per-phase device timings + HBM/MXU speed-of-light roofline "
         "for the DLRM step (tools/roofline); prints the breakdown JSON "
@@ -353,8 +358,9 @@ def main(argv=None):
         return
     rng = np.random.default_rng(0)
     if args.model == "sasrec":
-        maxlen = 512  # flash-attention regime (auto threshold S>=512)
-        fused, ref_style = bench_sasrec(rng, maxlen=maxlen)
+        maxlen = args.maxlen  # >=512 is the flash-attention regime
+        batch = 256 if maxlen <= 512 else max(32, 256 * 512 // maxlen)
+        fused, ref_style = bench_sasrec(rng, maxlen=maxlen, batch=batch)
         _emit({
             "metric": f"sasrec_maxlen{maxlen}_train_examples_per_s",
             "value": round(fused, 1),

@@ -153,6 +153,44 @@ def probe_random_gather(iters: int) -> dict:
             "effective_gb_s": round(bytes_moved / (ms / 1e3) / 1e9, 1)}
 
 
+def probe_gather_bytes_vs_rows(iters: int) -> dict:
+    """Is the random-gather floor BYTE-bound or ROW-bound?  Same 26 x B
+    uniform row gathers against three row widths: f32x128 (the production
+    512 B packed row), bf16x128 (256 B — what a bf16 shadow copy of the
+    tables would serve the forward gather from), and f32x64 (256 B by
+    width).  If halving row bytes halves the time, the floor is bandwidth
+    and a bf16 shadow table is worth its (small) extra update-write cost;
+    if the time barely moves, the floor is per-row DMA issue latency and
+    no byte diet can help (round-4 verdict lives in BASELINE.md)."""
+    rng = np.random.default_rng(0)
+    vp, ps = _tables(rng)
+    ids = [jnp.asarray(rng.integers(0, vp, BATCH, dtype=np.int64)
+                       .astype(np.int32)) for _ in range(NUM_TABLES)]
+
+    def run(tabs, row_bytes):
+        def fn(s):
+            shift = jnp.minimum(s.astype(jnp.int32), 0)
+            total = 0.0
+            for g in range(NUM_TABLES):
+                e = jnp.take(tabs[g], ids[g] + shift, axis=0)
+                total = total + jnp.sum(e.astype(jnp.float32))
+            return jnp.abs(jnp.tanh(total * 1e-12))
+
+        ms = time_chained(fn, jnp.float32(0.5), iters)
+        gb = NUM_TABLES * BATCH * row_bytes / 1e9
+        return {"ms": round(ms, 3), "row_bytes": row_bytes,
+                "effective_gb_s": round(gb / (ms / 1e3), 1)}
+
+    out = {
+        "f32_w128": run(ps, WIDE * 4),
+        "bf16_w128": run([p.astype(jnp.bfloat16) for p in ps], WIDE * 2),
+        "f32_w64": run([p[:, : WIDE // 2] for p in ps], WIDE // 2 * 4),
+    }
+    out["bf16_speedup_vs_f32"] = round(
+        out["f32_w128"]["ms"] / out["bf16_w128"]["ms"], 3)
+    return out
+
+
 def _perrow_kernel(x_ref, o_ref, acc):
     from jax.experimental import pallas as pl
 
@@ -215,6 +253,7 @@ def main(argv=None):
     rep["adam_stream_optax"] = probe_adam_stream(args.iters)
     rep["adam_stream_pallas"] = probe_pallas_adam_stream(args.iters)
     rep["random_gather_26tables"] = probe_random_gather(args.iters)
+    rep["gather_bytes_vs_rows"] = probe_gather_bytes_vs_rows(args.iters)
     rep["perrow_vmem_walk"] = probe_perrow_vmem(args.iters)
 
     w = sys.stderr.write
@@ -225,6 +264,10 @@ def main(argv=None):
     w(f"pallas Adam stream: {rep['adam_stream_pallas']['effective_gb_s']} GB/s\n")
     w(f"random gather x26 : {rep['random_gather_26tables']['effective_gb_s']}"
       f" GB/s\n")
+    gb = rep["gather_bytes_vs_rows"]
+    w(f"gather byte diet  : f32x128 {gb['f32_w128']['ms']} ms, bf16x128 "
+      f"{gb['bf16_w128']['ms']} ms ({gb['bf16_speedup_vs_f32']}x), f32x64 "
+      f"{gb['f32_w64']['ms']} ms\n")
     pr = rep["perrow_vmem_walk"]
     cyc = pr.get("cycles_per_row_at_clock")
     w(f"per-row VMEM walk : {pr['ns_per_row']} ns/row"
