@@ -21,18 +21,11 @@ import jax
 
 # Persistent compilation cache: remote (tunnelled) compiles dominate this
 # script's wall time — a warm cache turns the ~8-10 min cold run into the
-# ~1 min measurement it actually is.  Harmless on any backend; opt out
-# with RECSYS_TPU_NO_COMPILE_CACHE=1.
-if not os.environ.get("RECSYS_TPU_NO_COMPILE_CACHE"):
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+# ~1 min measurement it actually is (policy shared with the protocol
+# runner in recsys_tpu/tools).
+from recsys_tpu.tools import enable_compile_cache
+
+enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 import optax

@@ -40,14 +40,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from recsys_tpu.kernels.embedding import packed_gather
-from recsys_tpu.tools.roofline import time_chained
+from recsys_tpu.tools.roofline import (
+    EMBED_DIM, NUM_SPARSE, VOCAB, _opaque_zero_i32, time_chained,
+)
 
-NUM_TABLES = 26
-VOCAB = 100_000
-PACK = 8
-D = 16
-WIDE = PACK * D
-BATCH = 16384
+# bench shapes, derived from the roofline's single source of truth
+NUM_TABLES = NUM_SPARSE
+D = EMBED_DIM
+WIDE = 128          # one physical row = one 128-lane register row
+PACK = WIDE // D
+BATCH = 16384       # bench.py's saturating batch
 CH = 256
 
 
@@ -168,7 +170,7 @@ def main(argv=None):
 
     # baseline: the production XLA path
     def xla_full(s):
-        shift = jnp.minimum(s.astype(jnp.int32), 0)
+        shift = _opaque_zero_i32(s)
         total = 0.0
         for g in range(NUM_TABLES):
             e = packed_gather(tables[g], ids[g] + shift, PACK, D)
@@ -186,7 +188,7 @@ def main(argv=None):
     cold_ids = [jnp.asarray(pr[3]) for pr in preps]
 
     def split_fn(s):
-        shift = jnp.minimum(s.astype(jnp.int32), 0)
+        shift = _opaque_zero_i32(s)
         total = 0.0
         for g in range(NUM_TABLES):
             hot_buf = jnp.take(tables[g], hot_rows[g] + shift, axis=0)
@@ -227,12 +229,14 @@ def main(argv=None):
     sys.stderr.write(f"{rep}\n")
     payload = json.dumps(rep)
     if args.out:
-        import os
-
+        # append (one JSON line per variant); re-read the tail to verify
+        # THIS run's payload actually landed in the artifact
         with open(args.out, "a") as f:
             f.write(payload + "\n")
-        if os.path.getsize(args.out) <= 2:
-            raise RuntimeError("artifact write produced 0 bytes")
+        with open(args.out) as f:
+            if not f.read().rstrip().endswith(payload):
+                raise RuntimeError(f"artifact write did not land in "
+                                   f"{args.out!r}")
     print(payload)
 
 

@@ -42,22 +42,7 @@ def _log(msg: str):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _enable_compile_cache():
-    """Persistent compilation cache: protocol runs re-compile identical
-    programs across seeds/teachers, and remote (tunnelled) compiles
-    dominate their wall time.  Opt out: RECSYS_TPU_NO_COMPILE_CACHE=1."""
-    if os.environ.get("RECSYS_TPU_NO_COMPILE_CACHE"):
-        return
-    import jax
-
-    try:
-        repo = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(repo, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+from recsys_tpu.tools import enable_compile_cache as _enable_compile_cache
 
 
 def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
@@ -466,22 +451,27 @@ def run_census(rows: int, models: list[str], batch_size: int,
     from recsys_tpu.train.loop import Trainer
     from recsys_tpu.train.metrics import auc_exact
 
+    unknown = [m for m in models if m not in ("mmoe", "ple")]
+    if unknown:
+        raise ValueError(f"census protocol supports mmoe/ple, got {unknown}")
+
     t0 = time.time()
     n_test = max(rows // 2, 1)
     train_df, test_df, meta = realistic_census(num_train=rows,
                                                num_test=n_test, seed=seed)
-    tmp = tempfile.mkdtemp(prefix="census_")
-    train_path = os.path.join(tmp, "census-income.data")
-    test_path = os.path.join(tmp, "census-income.test")
-    train_df.to_csv(train_path, index=False, header=False)
-    test_df.to_csv(test_path, index=False, header=False)
-    _log(f"generated census files ({rows}+{n_test} rows) in "
-         f"{time.time() - t0:.1f}s (oracle income "
-         f"{meta['oracle_auc_income']:.4f}, marital "
-         f"{meta['oracle_auc_marital']:.4f})")
+    with tempfile.TemporaryDirectory(prefix="census_") as tmp:
+        train_path = os.path.join(tmp, "census-income.data")
+        test_path = os.path.join(tmp, "census-income.test")
+        train_df.to_csv(train_path, index=False, header=False)
+        test_df.to_csv(test_path, index=False, header=False)
+        _log(f"generated census files ({rows}+{n_test} rows) in "
+             f"{time.time() - t0:.1f}s (oracle income "
+             f"{meta['oracle_auc_income']:.4f}, marital "
+             f"{meta['oracle_auc_marital']:.4f})")
 
-    t0 = time.time()
-    schema, train, val, test = create_census_dataset(train_path, test_path)
+        t0 = time.time()
+        schema, train, val, test = create_census_dataset(train_path,
+                                                         test_path)
     _log(f"loader parsed + encoded in {time.time() - t0:.1f}s "
          f"({len(schema.sparse)} sparse, {len(schema.dense)} dense fields)")
 
@@ -731,7 +721,9 @@ def main(argv=None):
     p.add_argument("mode", choices=["ctr", "ncf", "sasrec", "seqret",
                                     "din", "multitask", "mind", "dssm",
                                     "census"])
-    p.add_argument("--rows", type=int, default=1_000_000)
+    p.add_argument("--rows", type=int, default=None,
+                   help="dataset rows (default: 1M for ctr/multitask, "
+                   "200k for census)")
     p.add_argument("--users", type=int, default=100_000)
     p.add_argument("--items", type=int, default=20_000)
     p.add_argument("--models", default=_DEFAULT_CTR_MODELS)
@@ -765,7 +757,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.mode == "ctr":
-        rep = run_ctr(args.rows, args.models.split(","), args.embed_dim,
+        rep = run_ctr(args.rows or 1_000_000, args.models.split(","),
+                      args.embed_dim,
                       args.batch_size or 512, args.epochs or 10, args.seed,
                       patience=args.patience or None, lr=args.lr,
                       embedding_optimizer=args.embedding_optimizer,
@@ -788,13 +781,13 @@ def main(argv=None):
     elif args.mode == "multitask":
         models = (args.models if args.models != _DEFAULT_CTR_MODELS
                   else "esmm,mmoe,ple")
-        rep = run_multitask(args.rows, models.split(","),
+        rep = run_multitask(args.rows or 1_000_000, models.split(","),
                             args.batch_size or 512, args.epochs or 5,
                             args.seed)
     elif args.mode == "census":
         models = (args.models if args.models != _DEFAULT_CTR_MODELS
                   else "mmoe,ple")
-        rep = run_census(args.rows if args.rows != 1_000_000 else 200_000,
+        rep = run_census(args.rows or 200_000,
                          models.split(","), args.batch_size or 512,
                          args.epochs or 5, args.seed)
     elif args.mode == "mind":

@@ -39,14 +39,16 @@ import numpy as np
 import optax
 from jax import lax
 
-from recsys_tpu.tools.roofline import SPECS, time_chained
+from recsys_tpu.tools.roofline import (
+    EMBED_DIM, NUM_SPARSE, SPECS, VOCAB, _opaque_zero_i32, time_chained,
+)
 
-NUM_TABLES = 26
-VOCAB = 100_000
-PACK = 8
-D = 16
-WIDE = PACK * D  # 128
-BATCH = 16384
+# bench shapes, derived from the roofline's single source of truth
+NUM_TABLES = NUM_SPARSE
+D = EMBED_DIM
+WIDE = 128          # one physical row = one 128-lane register row
+PACK = WIDE // D
+BATCH = 16384       # bench.py's saturating batch
 
 _CLOCK_HZ = {"TPU v5 lite": 940e6}  # published v5e core clock
 
@@ -140,7 +142,7 @@ def probe_random_gather(iters: int) -> dict:
                        .astype(np.int32)) for _ in range(NUM_TABLES)]
 
     def fn(s):
-        shift = jnp.minimum(s.astype(jnp.int32), 0)  # opaque zero
+        shift = _opaque_zero_i32(s)
         total = 0.0
         for g in range(NUM_TABLES):
             total = total + jnp.sum(jnp.take(ps[g], ids[g] + shift, axis=0))
@@ -169,7 +171,7 @@ def probe_gather_bytes_vs_rows(iters: int) -> dict:
 
     def run(tabs, row_bytes):
         def fn(s):
-            shift = jnp.minimum(s.astype(jnp.int32), 0)
+            shift = _opaque_zero_i32(s)
             total = 0.0
             for g in range(NUM_TABLES):
                 e = jnp.take(tabs[g], ids[g] + shift, axis=0)

@@ -38,6 +38,8 @@ for engine, model_kw, train_kw in cases:
                       **model_kw),
                  learning_rate=1e-2, mesh=mesh, seed=3, **train_kw)
     h = tr.fit(data, batch_size=64, epochs=1, verbose=False)
+    # full repr precision: the parent parses this and asserts cross-mesh
+    # parity at atol=1e-6 — a .6f rounding would eat most of that margin
     print(f"RESULT proc={jax.process_index()} "
           f"engine={engine} "
-          f"loss={h['loss'][0]:.6f}", flush=True)
+          f"loss={float(h['loss'][0])!r}", flush=True)

@@ -48,7 +48,7 @@ def test_two_process_mesh_trains_both_engines():
     losses = {}
     for out in outs:
         for m in re.finditer(
-            r"RESULT proc=(\d) engine=(\w+) loss=([0-9.]+)", out
+            r"RESULT proc=(\d) engine=(\w+) loss=([0-9.e+-]+)", out
         ):
             losses.setdefault(m.group(2), set()).add(m.group(3))
     assert set(losses) == {"gather", "a2a", "fused"}, losses

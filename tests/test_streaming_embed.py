@@ -254,10 +254,9 @@ def test_host_prep_sharded_matches_numpy_and_partitions():
                 if real.size:
                     prow = real // pack
                     assert (prow >= s * vs).all() and (prow < (s + 1) * vs).all()
-                    assert (prow // blk - s * vs // blk == k).all() or (
-                        # block index within shard
-                        ((prow - s * vs) // blk == k).all()
-                    )
+                    # block index within the shard (fences are aligned to
+                    # shard starts, so the index is over shard-local rows)
+                    assert ((prow - s * vs) // blk == k).all()
         assert cptr[-1] == ids2d.shape[0]
 
 
