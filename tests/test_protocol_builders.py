@@ -75,3 +75,38 @@ def test_realistic_multitask_oracles_and_structure():
     assert np.all(data["ctcvr"] <= data["click"])
     assert 0.15 < data["click"].mean() < 0.35
     assert len(schema.sparse) == 12 and len(schema.dense) == 8
+
+
+def test_census_protocol_rejects_unknown_models():
+    """run_census must refuse model names it would otherwise silently map
+    to PLE and mislabel in the report (round-4 self-review)."""
+    import pytest
+
+    from recsys_tpu.tools.protocol import run_census
+
+    with pytest.raises(ValueError, match="esmm"):
+        run_census(100, ["mmoe", "esmm"], batch_size=32, epochs=1)
+
+
+def test_protocol_rows_default_resolution(tmp_path):
+    """--rows None resolves per mode (1M ctr/multitask, 200k census); an
+    explicit value is honored verbatim (the old 1M sentinel silently
+    remapped census --rows 1000000 to 200k)."""
+    import recsys_tpu.tools.protocol as proto
+
+    calls = {}
+
+    def fake_census(rows, models, batch_size, epochs, seed=0):
+        calls["census"] = rows
+        return {"rows": rows, "models": {}}
+
+    orig = proto.run_census
+    proto.run_census = fake_census
+    try:
+        out = str(tmp_path / "census.json")
+        proto.main(["census", "--rows", "1000000", "--out", out])
+        assert calls["census"] == 1_000_000
+        proto.main(["census", "--out", out])
+        assert calls["census"] == 200_000
+    finally:
+        proto.run_census = orig
