@@ -56,12 +56,13 @@ class CapsuleRouting(nn.Module):
         u_hat_sg = jax.lax.stop_gradient(u_hat)
 
         def body(i, b):
-            # softmax over capsules for each behaviour, padding masked out
+            # softmax over capsules for each behaviour, padding masked out.
+            # Every loop iteration is a logit update only, so it always
+            # consumes the stop-gradient behaviours; the single
+            # gradient-carrying capsule computation happens after the loop.
             logits = jnp.where(m[:, None, :] > 0, b, neg)
             w = jax.nn.softmax(logits, axis=1)  # (B, K, L)
-            src = jnp.where(i < self.iterations - 1, 0, 1)
-            u = jnp.where(src == 1, u_hat, u_hat_sg)
-            caps = squash(jnp.einsum("bkl,bld->bkd", w, u))  # (B, K, D)
+            caps = squash(jnp.einsum("bkl,bld->bkd", w, u_hat_sg))  # (B, K, D)
             b_new = b + jnp.einsum("bkd,bld->bkl", caps, u_hat_sg)
             return b_new
 

@@ -39,7 +39,7 @@ PACK = WIDE // EMBED_DIM
 BATCH = 16384
 
 
-def time_point(block: int, ch: int, iters: int, rng: np.random.Generator,
+def time_point(block: int, ch: int, iters: int,
                tables, cots, ids_np) -> dict:
     from recsys_tpu.kernels import use_pallas
     from recsys_tpu.kernels.pallas.embedding_update_tpu import fused_bwd_adam
@@ -98,7 +98,7 @@ def main(argv=None):
     for block in (int(x) for x in args.blocks.split(",")):
         for ch in (int(x) for x in args.chs.split(",")):
             try:
-                pt = time_point(block, ch, args.iters, rng, tables, cots,
+                pt = time_point(block, ch, args.iters, tables, cots,
                                 ids_np)
             except Exception as e:  # Mosaic VMEM overflow etc: record it
                 pt = {"block": block, "ch": ch,

@@ -721,7 +721,13 @@ def main(argv=None):
     p.add_argument("mode", choices=["ctr", "ncf", "sasrec", "seqret",
                                     "din", "multitask", "mind", "dssm",
                                     "census"])
-    p.add_argument("--rows", type=int, default=None,
+    def _positive_int(s: str) -> int:
+        v = int(s)
+        if v <= 0:
+            raise argparse.ArgumentTypeError(f"must be positive, got {v}")
+        return v
+
+    p.add_argument("--rows", type=_positive_int, default=None,
                    help="dataset rows (default: 1M for ctr/multitask, "
                    "200k for census)")
     p.add_argument("--users", type=int, default=100_000)

@@ -52,13 +52,19 @@ def aggregate(paths: list[str]) -> dict:
                        "seeds": len(rs)}
         if "fm" in models:
             # per-seed verdict: does every deep model beat FM on this draw?
+            # Only seeds whose run actually includes an fm entry contribute
+            # (a run produced with --models lacking fm is skipped, not a
+            # KeyError), and the count of contributing seeds is recorded.
             per_seed = []
             for r in rs:
+                if "fm" not in r["models"]:
+                    continue
                 fm_auc = r["models"]["fm"]["test_auc"]
                 deep = {m: v["test_auc"] for m, v in r["models"].items()
                         if m != "fm"}
                 per_seed.append(all(v > fm_auc for v in deep.values()))
             entry["deep_beats_fm_per_seed"] = per_seed
+            entry["deep_beats_fm_seeds_counted"] = len(per_seed)
         out["teachers"][teacher] = entry
     return out
 

@@ -137,6 +137,45 @@ def test_mind_capsules():
     )
 
 
+def test_mind_routing_semantics():
+    """The fori_loop body is logit-updates only (always consuming
+    stop-gradient behaviours); the one gradient-carrying capsule
+    computation happens after the loop.  Pin that by matching an explicit
+    unrolled reference."""
+    from recsys_tpu.models.match.mind import CapsuleRouting
+
+    rng = np.random.default_rng(7)
+    L, D, K, iters = 6, 8, 3, 3
+    hist = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (B, L)), jnp.float32)
+    mod = CapsuleRouting(k_max=K, iterations=iters)
+    variables = mod.init(jax.random.PRNGKey(0), hist, mask)
+    got = mod.apply(variables, hist, mask)
+
+    # unrolled reference with the same fixed pseudo-random logits
+    S = variables["params"]["S"]
+    u_hat = jnp.einsum("bld,de->ble", hist, S)
+    neg = jnp.asarray(-1e9, jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(0), (1, K, L)) * jnp.ones(
+        (B, 1, 1), jnp.float32)
+    for _ in range(iters - 1):
+        logits = jnp.where(mask[:, None, :] > 0, b, neg)
+        w = jax.nn.softmax(logits, axis=1)
+        caps = squash(jnp.einsum("bkl,bld->bkd", w, u_hat))
+        b = b + jnp.einsum("bkd,bld->bkl", caps, u_hat)
+    logits = jnp.where(mask[:, None, :] > 0, b, neg)
+    w = jax.nn.softmax(logits, axis=1)
+    want = squash(jnp.einsum("bkl,bld->bkd", w, u_hat))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # gradient flows into S only through the final capsule computation —
+    # in particular it exists and is finite (the stop_gradient in the loop
+    # must not sever it entirely)
+    g = jax.grad(lambda v: jnp.sum(mod.apply(v, hist, mask) ** 2))(variables)
+    gS = np.asarray(g["params"]["S"])
+    assert np.all(np.isfinite(gS)) and np.any(gS != 0)
+
+
 def test_ncf_scoring():
     rng = np.random.default_rng(5)
     model = NCF(num_users=20, num_items=30, gmf_dim=8, mlp_dim=8,
