@@ -47,17 +47,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(cptr_ref, corr_ref, ids_ref, cot_ref, p_ref, m_ref, v_ref,
             po_ref, mo_ref, vo_ref, g_scr,
-            *, block, ch, pack, d, lr, b1, b2, eps, wd, mm_dtype, precision):
+            *, block, ch, pack, d, lr, b1, b2, eps, wd, mm_dtype, precision,
+            streams, nc_s, nb1):
     k = pl.program_id(0)
-    c0 = cptr_ref[k]
-    c1 = cptr_ref[k + 1]
     g_scr[...] = jnp.zeros_like(g_scr)
 
     lane_w = lax.broadcasted_iota(jnp.int32, (ch, pack * d), 1)
     row_iota = lax.broadcasted_iota(jnp.int32, (block, ch), 0)
 
-    def chunk_body(c, _):
-        row = c0 + c
+    def chunk_body(row, _):
         buf = cot_ref[pl.ds(pl.multiple_of(row * ch, ch), ch), :]  # (ch, d)
         ids_row = ids_ref[pl.ds(row, 1), :]  # (1, ch) int32 vocab ids
         local = ids_row // pack - k * block  # (1, ch)
@@ -74,7 +72,16 @@ def _kernel(cptr_ref, corr_ref, ids_ref, cot_ref, p_ref, m_ref, v_ref,
         )
         return 0
 
-    lax.fori_loop(0, c1 - c0, chunk_body, 0)
+    # ``streams`` independently host-sorted chunk streams (one per data
+    # shard under the local-prep contract; 1 under global prep).  Each
+    # stream carries its own nb+1-entry cptr segment and a static
+    # nc_s-chunk payload window; block k consumes every stream's
+    # [cptr_s[k], cptr_s[k+1]) chunks.  The static python loop keeps the
+    # single-stream case's code shape (and cost) exactly.
+    for s in range(streams):
+        c0 = cptr_ref[s * nb1 + k]
+        c1 = cptr_ref[s * nb1 + k + 1]
+        lax.fori_loop(c0 + s * nc_s, c1 + s * nc_s, chunk_body, 0)
 
     g = g_scr[...]
     if wd:
@@ -94,15 +101,15 @@ def _kernel(cptr_ref, corr_ref, ids_ref, cot_ref, p_ref, m_ref, v_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("block", "ch", "pack", "d", "lr", "b1", "b2", "eps",
-                     "wd", "mm_bf16", "interpret"),
+                     "wd", "mm_bf16", "interpret", "streams"),
 )
 def fused_bwd_adam(
     p: jnp.ndarray,      # (V_phys, pack*d) f32 packed table
     m: jnp.ndarray,      # Adam moments, like p
     v: jnp.ndarray,
-    cot_sorted: jnp.ndarray,  # (n_chunks*ch, d) cot rows in sorted order
-    ids2d: jnp.ndarray,  # (n_chunks, ch) int32 vocab ids, sentinel-padded
-    cptr: jnp.ndarray,   # (nb+1,) int32 first chunk index per block
+    cot_sorted: jnp.ndarray,  # (streams*nc_s*ch, d) cot rows, sorted per stream
+    ids2d: jnp.ndarray,  # (streams*nc_s, ch) int32 vocab ids, sentinel-padded
+    cptr: jnp.ndarray,   # (streams*(nb+1),) int32 chunk ptrs, one seg/stream
     step: jnp.ndarray,   # int32 1-based global step (bias correction)
     *,
     block: int = 512,
@@ -116,6 +123,7 @@ def fused_bwd_adam(
     wd: float = 0.0,
     mm_bf16: bool = True,
     interpret: bool = False,
+    streams: int = 1,
 ):
     """One fused dense-Adam step for one packed table; returns (p, m, v).
 
@@ -125,10 +133,19 @@ def fused_bwd_adam(
     Precision.HIGHEST (exact-f32 grads for f32-compute training).
     Sentinel ids (>= nb*block*pack) contribute nothing; the chunk padding
     rows of ``cot_sorted``/``ids2d`` are therefore inert.
+
+    ``streams > 1`` (the host-local multihost data contract): the payload
+    arrays concatenate ``streams`` INDEPENDENTLY sorted chunk streams —
+    one per data shard, each host-prepped from that shard's local batch
+    only — with per-stream cptr segments of nb+1 entries.  Block k sums
+    every stream's chunks for k; the math equals the single-stream global
+    sort up to f32 accumulation order across streams.
     """
     vp, wide = p.shape
     assert wide == pack * d, (wide, pack, d)
     nb = pl.cdiv(vp, block)
+    assert cptr.shape[0] == streams * (nb + 1), (cptr.shape, streams, nb)
+    assert ids2d.shape[0] % streams == 0, (ids2d.shape, streams)
     t = step.astype(jnp.float32)
     corr = jnp.stack([1.0 / (1.0 - b1 ** t), 1.0 / (1.0 - b2 ** t)])
     mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
@@ -149,6 +166,7 @@ def fused_bwd_adam(
     kern = functools.partial(
         _kernel, block=block, ch=ch, pack=pack, d=d, lr=lr, b1=b1, b2=b2,
         eps=eps, wd=wd, mm_dtype=mm_dtype, precision=precision,
+        streams=streams, nc_s=ids2d.shape[0] // streams, nb1=nb + 1,
     )
     return pl.pallas_call(
         kern,
@@ -174,17 +192,15 @@ def fused_bwd_adam(
 
 def _adagrad_kernel(cptr_ref, hyp_ref, ids_ref, cot_ref, p_ref, a_ref,
                     po_ref, ao_ref, g_scr,
-                    *, block, ch, pack, d, eps, wd, mm_dtype, precision):
+                    *, block, ch, pack, d, eps, wd, mm_dtype, precision,
+                    streams, nc_s, nb1):
     k = pl.program_id(0)
-    c0 = cptr_ref[k]
-    c1 = cptr_ref[k + 1]
     g_scr[...] = jnp.zeros_like(g_scr)
 
     lane_w = lax.broadcasted_iota(jnp.int32, (ch, pack * d), 1)
     row_iota = lax.broadcasted_iota(jnp.int32, (block, ch), 0)
 
-    def chunk_body(c, _):
-        row = c0 + c
+    def chunk_body(row, _):
         buf = cot_ref[pl.ds(pl.multiple_of(row * ch, ch), ch), :]
         ids_row = ids_ref[pl.ds(row, 1), :]
         local = ids_row // pack - k * block
@@ -201,7 +217,11 @@ def _adagrad_kernel(cptr_ref, hyp_ref, ids_ref, cot_ref, p_ref, a_ref,
         )
         return 0
 
-    lax.fori_loop(0, c1 - c0, chunk_body, 0)
+    # per-stream chunk windows, as in _kernel
+    for s in range(streams):
+        c0 = cptr_ref[s * nb1 + k]
+        c1 = cptr_ref[s * nb1 + k + 1]
+        lax.fori_loop(c0 + s * nc_s, c1 + s * nc_s, chunk_body, 0)
 
     lr = hyp_ref[0]
     g = g_scr[...]
@@ -233,7 +253,7 @@ def _adagrad_kernel(cptr_ref, hyp_ref, ids_ref, cot_ref, p_ref, a_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("block", "ch", "pack", "d", "eps", "wd", "mm_bf16",
-                     "interpret"),
+                     "interpret", "streams"),
 )
 def fused_bwd_rowwise_adagrad(
     p: jnp.ndarray,       # (V_phys, pack*d) f32 packed table
@@ -251,17 +271,20 @@ def fused_bwd_rowwise_adagrad(
     wd: float = 0.0,
     mm_bf16: bool = True,
     interpret: bool = False,
+    streams: int = 1,
 ):
     """One fused rowwise-AdaGrad step for one packed table -> (p, acc).
 
-    Same grad accumulation as :func:`fused_bwd_adam`; the update keeps ONE
-    f32 accumulator per vocab row (train/sparse_embed.rowwise_adagrad
-    semantics; identical to the sparse path at wd=0, dense decoupled decay
-    otherwise).
+    Same grad accumulation as :func:`fused_bwd_adam` (including the
+    ``streams`` multi-stream form); the update keeps ONE f32 accumulator
+    per vocab row (train/sparse_embed.rowwise_adagrad semantics; identical
+    to the sparse path at wd=0, dense decoupled decay otherwise).
     """
     vp, wide = p.shape
     assert wide == pack * d and acc.shape == (vp, pack)
     nb = pl.cdiv(vp, block)
+    assert cptr.shape[0] == streams * (nb + 1), (cptr.shape, streams, nb)
+    assert ids2d.shape[0] % streams == 0, (ids2d.shape, streams)
     mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
     precision = None if mm_bf16 else lax.Precision.HIGHEST
     if mm_bf16:
@@ -281,6 +304,7 @@ def fused_bwd_rowwise_adagrad(
     kern = functools.partial(
         _adagrad_kernel, block=block, ch=ch, pack=pack, d=d, eps=eps, wd=wd,
         mm_dtype=mm_dtype, precision=precision,
+        streams=streams, nc_s=ids2d.shape[0] // streams, nb1=nb + 1,
     )
     return pl.pallas_call(
         kern,

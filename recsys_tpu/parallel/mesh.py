@@ -81,24 +81,61 @@ def table_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: dict, mesh: Mesh | None) -> dict:
     """Device-put a host batch with its leading axis split over `data`.
 
-    The ``embaux*`` keys (fused-update host prep: sorted-id chunks, gather
-    permutation, chunk pointers — train/streaming_embed.py) are GLOBAL
-    batch metadata, not per-example rows; they replicate instead.
+    GLOBAL contract: every process passes the full global arrays.  The
+    ``embaux*`` keys (fused-update host prep under GLOBAL prep: sorted-id
+    chunks, gather permutation, chunk pointers — train/streaming_embed.py)
+    are global batch metadata, not per-example rows; they replicate.
+    Under host-local prep (leading stream axis, ndim bumped by one) they
+    are per-data-shard streams and shard over `data` like the batch rows.
     """
     if mesh is None:
         return jax.device_put(batch)
     s = batch_sharding(mesh)
     r = replicated(mesh)
+
+    def put(k, x):
+        if k.startswith("embaux") and np.ndim(x) in (2, 3):
+            # global-prep aux: ids (nc, ch) / idx (n,) / ptr (nb+1,) ->
+            # replicate; local-prep aux has a leading (Sd, ...) stream
+            # axis -> shard it over data.  idx is 1-D global / 2-D local.
+            is_local = (np.ndim(x) == 3) or (
+                np.ndim(x) == 2 and k.endswith("_idx")
+            ) or (np.ndim(x) == 2 and k.endswith("_ptr"))
+            return jax.device_put(x, s if is_local else r)
+        if k.startswith("embaux"):
+            return jax.device_put(x, r)
+        return jax.device_put(x, s)
+
     if isinstance(batch, dict):
         return {
-            k: jax.tree_util.tree_map(
-                lambda x, sh=(r if k.startswith("embaux") else s):
-                jax.device_put(x, sh),
-                v,
-            )
+            k: jax.tree_util.tree_map(lambda x, k=k: put(k, x), v)
             for k, v in batch.items()
         }
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def shard_batch_local(batch: dict, mesh: Mesh | None) -> dict:
+    """Assemble a GLOBAL device batch from this process's LOCAL arrays.
+
+    The host-local multihost data contract (the TPU-native replacement for
+    MirroredStrategy's per-replica feeding, /root/reference/src/ctr/fm/
+    train.py:43-44): each process passes only the rows it feeds — batch
+    arrays shaped (B_local, ...) and local-prep ``embaux*`` streams shaped
+    (Sd_local, ...) — and ``jax.make_array_from_process_local_data``
+    assembles the logically-global sharded arrays without any host ever
+    holding the global batch.  Single-process, this equals
+    :func:`shard_batch` with local-prep aux.
+    """
+    if mesh is None:
+        return jax.device_put(batch)
+    s = batch_sharding(mesh)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+
+    return {
+        k: jax.tree_util.tree_map(put, v) for k, v in batch.items()
+    }
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -54,6 +54,7 @@ class Trainer:
         embedding_optimizer: str | None = None,
         embedding_lr: float | None = None,
         embedding_fused_bf16: bool = True,
+        data_contract: str = "global",
     ):
         """``embedding_optimizer`` switches the StackedEmbedding tables off
         the optax path (the model must be constructed with
@@ -100,15 +101,26 @@ class Trainer:
                     f"{kinds}"
                 )
             # The fused streaming path runs on any (data, model) mesh:
-            # data axis — one cotangent all-gather into global sorted
-            # order, every device applies the identical update; model
-            # axis — row-sharded tables update shard-locally against
-            # shard-aligned host-prep fences (streaming_embed.
-            # apply_updates_fused).  Multi-process works under the
-            # Trainer's standing multihost data contract (every process
-            # passes the GLOBAL arrays to fit, as shard_batch's global
-            # device_put already requires), so host prep sorts the same
-            # global batch identically on each process.
+            # data axis — per-shard sorted cotangent streams under the
+            # local contract (one all-gather, each device permutes only
+            # its rows) or one global-sort all-gather under the global
+            # contract; model axis — row-sharded tables update
+            # shard-locally against shard-aligned host-prep fences
+            # (streaming_embed.apply_updates_fused).
+        if data_contract not in ("global", "local"):
+            raise ValueError(
+                f"data_contract={data_contract!r} not in ('global','local')"
+            )
+        # 'local' — the multihost production contract (MirroredStrategy's
+        # per-replica feeding, /root/reference/src/ctr/fm/train.py:43-44,
+        # done the JAX way): each process passes fit/evaluate_loss only
+        # the rows IT feeds; jax.make_array_from_process_local_data
+        # assembles the global batch, and fused-update host prep sorts
+        # per-data-shard local streams — O(local batch) host work per
+        # process, no process ever holds the global batch.  'global' —
+        # every process passes the same global arrays (single-process
+        # default; also the contract of predict/evaluate_auc).
+        self.data_contract = data_contract
         self.embedding_optimizer = embedding_optimizer
         self.embedding_lr = (
             embedding_lr if embedding_lr is not None else learning_rate
@@ -248,9 +260,27 @@ class Trainer:
             self._fused_shards = {
                 name: shards_of(t) for name, t in tables.items()
             }
-            self._streaming_prep = streaming_embed.make_host_prep(
-                self._embed_plan, shards_by_name=self._fused_shards
-            )
+            if self.data_contract == "local":
+                # per-data-shard local streams: this process preps only
+                # the shards its local rows feed
+                n_data = (
+                    self.mesh.shape.get(mesh_lib.DATA_AXIS, 1)
+                    if self.mesh is not None else 1
+                )
+                n_proc = jax.process_count()
+                if n_data % n_proc:
+                    raise ValueError(
+                        f"data axis {n_data} not divisible by process "
+                        f"count {n_proc}"
+                    )
+                self._streaming_prep = streaming_embed.make_host_prep(
+                    self._embed_plan, shards_by_name=self._fused_shards,
+                    data_shards=n_data // n_proc,
+                )
+            else:
+                self._streaming_prep = streaming_embed.make_host_prep(
+                    self._embed_plan, shards_by_name=self._fused_shards
+                )
         else:
             emb = sparse_embed.init_state(
                 tables, self.embedding_optimizer, self._embed_plan
@@ -472,23 +502,75 @@ class Trainer:
         eval_fn: Callable | None = None,
         eval_every: int = 1,
     ) -> dict:
-        """train_data: dict of aligned numpy arrays incl. the label key(s)."""
-        if validation_split > 0.0 and val_data is None:
-            n = _num_examples(train_data)
-            cut = int(n * (1.0 - validation_split))
-            val_data = jax.tree_util.tree_map(lambda a: a[cut:], train_data)
-            train_data = jax.tree_util.tree_map(lambda a: a[:cut], train_data)
+        """train_data: dict of aligned numpy arrays incl. the label key(s),
+        OR an out-of-core stream — a RE-ITERABLE object (fresh pass per
+        ``iter()``, e.g. data.streaming.CriteoStream) or a zero-arg
+        callable returning an iterator — yielding fixed-size batch dicts;
+        each epoch streams it once through the prefetch thread, so peak
+        host memory is one chunk, never the dataset
+        (/root/reference/src/ctr/utils/data_process.py:47-50 reads whole
+        files; this is the L1 the native chunk parser exists for).  In
+        stream mode ``batch_size``/``validation_split`` are the stream's
+        business (its batches pass through unchanged) and ``val_data``
+        must be an array dict.
 
-        n_train = _num_examples(train_data)
-        if n_train == 0:
-            raise ValueError("empty training dataset")
-        if batch_size > n_train:
-            # a batch larger than the dataset would drop EVERY example
-            # under drop_remainder; train on one full-dataset batch instead
-            batch_size = n_train
+        Under ``data_contract='local'`` the arrays (or streamed batches)
+        are this PROCESS's local rows (every process must hold the same
+        number) and ``batch_size`` stays the GLOBAL batch size — each
+        process feeds its batch_size/process_count share and the global
+        batch is assembled on device (mesh.shard_batch_local).
+        """
+        streaming = not isinstance(train_data, dict)
+        local = self.data_contract == "local"
+        n_proc = jax.process_count() if local else 1
+        if streaming:
+            if validation_split > 0.0:
+                raise ValueError(
+                    "validation_split needs a resident array dict; pass a "
+                    "val_data dict alongside the training stream instead"
+                )
+            slice_bs = None
+        else:
+            if validation_split > 0.0 and val_data is None:
+                n = _num_examples(train_data)
+                cut = int(n * (1.0 - validation_split))
+                val_data = jax.tree_util.tree_map(
+                    lambda a: a[cut:], train_data
+                )
+                train_data = jax.tree_util.tree_map(
+                    lambda a: a[:cut], train_data
+                )
+
+            n_train = _num_examples(train_data)
+            if n_train == 0:
+                raise ValueError("empty training dataset")
+            if batch_size > n_train * n_proc:
+                # a batch larger than the dataset would drop EVERY example
+                # under drop_remainder; train on one full-dataset batch
+                batch_size = n_train * n_proc
+            if local and batch_size % n_proc:
+                raise ValueError(
+                    f"global batch_size {batch_size} not divisible by "
+                    f"process count {n_proc}"
+                )
+            slice_bs = batch_size // n_proc  # rows this process feeds
+
+        def fresh_stream():
+            it = train_data() if callable(train_data) else iter(train_data)
+            prep = getattr(self, "_streaming_prep", None)
+            for b in it:
+                b = dict(b)
+                if prep is not None:
+                    b.update(prep(b["sparse"]))
+                yield b
 
         if self.state is None:
-            sample = next(self._batches(train_data, batch_size, False, True))
+            if streaming:
+                sample = next(iter(fresh_stream()))
+            else:
+                sample = next(
+                    self._batches(train_data, slice_bs, False, True)
+                )
             self.init(sample)
         if self._train_step is None:
             self._build_steps()
@@ -526,12 +608,16 @@ class Trainer:
             # stays on the main thread (a worker-thread device_put measured
             # SLOWER here — PJRT client contention).
             total, count, dropped_total = None, 0, None
-            for batch in prefetch(
-                self._batches(train_data, batch_size, True, True,
-                              with_aux=True)
-            ):
+            put = (mesh_lib.shard_batch_local if local
+                   else mesh_lib.shard_batch)
+            epoch_iter = (
+                fresh_stream() if streaming
+                else self._batches(train_data, slice_bs, True, True,
+                                   with_aux=True)
+            )
+            for batch in prefetch(epoch_iter):
                 self.rng, step_rng = jax.random.split(self.rng)
-                db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
+                db = put(_device_batch(batch), self.mesh)
                 self.state, loss, dropped = self._train_step(
                     self.state, db, step_rng
                 )
@@ -644,21 +730,35 @@ class Trainer:
 
         from recsys_tpu.data.prefetch import prefetch
 
+        local = self.data_contract == "local"
+        n_proc = jax.process_count() if local else 1
+        slice_bs = batch_size // n_proc if local else batch_size
+        put = mesh_lib.shard_batch_local if local else mesh_lib.shard_batch
+        b_global = slice_bs * n_proc
+
         total, n = None, 0
-        for batch in prefetch(self._batches(data, batch_size, False, False)):
+        for batch in prefetch(self._batches(data, slice_bs, False, False)):
             valid = batch.pop("_valid", None)
-            db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
-            n_valid = batch_size if valid is None else int(valid.sum())
-            part = self._loss_step(self.state, db) * batch_size
-            if n_valid < batch_size:
-                tiled = jax.tree_util.tree_map(
-                    lambda a: jnp.broadcast_to(a[-1:], a.shape), db
+            host_batch = _device_batch(batch)
+            db = put(host_batch, self.mesh)
+            n_valid = slice_bs if valid is None else int(valid.sum())
+            part = self._loss_step(self.state, db) * b_global
+            if n_valid < slice_bs:
+                # tail correction: each process tiles ITS last local row;
+                # the global tiled-batch mean times n_proc gives the sum of
+                # per-process tile losses (equal local counts and pads —
+                # the local contract's standing requirement), so the
+                # padding rows' contribution subtracts exactly for any
+                # mean-of-per-example loss_fn
+                tiled_host = jax.tree_util.tree_map(
+                    lambda a: np.broadcast_to(a[-1:], a.shape), host_batch
                 )
+                tiled = put(tiled_host, self.mesh)
                 part = part - self._loss_step(self.state, tiled) * (
-                    batch_size - n_valid
+                    (slice_bs - n_valid) * n_proc
                 )
             total = part if total is None else total + part
-            n += n_valid
+            n += n_valid * n_proc
         return float(total) / n if n else 0.0
 
     def predict(self, data: dict, batch_size: int = 4096,
@@ -669,6 +769,13 @@ class Trainer:
         (padding rows already dropped; ``start`` is the dataset offset) are
         handed over as they arrive and nothing is accumulated (returns
         None).  The memory-bounded path for catalog-scale prediction."""
+        if self.data_contract == "local" and jax.process_count() > 1:
+            raise NotImplementedError(
+                "predict/evaluate_auc fetch per-example outputs to the "
+                "host and keep the global contract: pass the same global "
+                "arrays on every process (fit/evaluate_loss are the "
+                "local-contract surfaces)"
+            )
         if self._eval_step is None:
             self._build_steps()
         from recsys_tpu.data.prefetch import prefetch

@@ -128,7 +128,8 @@ def group_shards(plan: EmbedPlan, g: int, model_shards: int) -> int:
 
 def make_host_prep(plan: EmbedPlan, block: int = DEFAULT_BLOCK,
                    ch: int = DEFAULT_CH, model_shards: int = 1,
-                   shards_by_name: dict | None = None):
+                   shards_by_name: dict | None = None,
+                   data_shards: int = 1):
     """Returns fn(sparse (B, F) np.int32) -> {aux key: np.ndarray}.
 
     The aux keys ride the batch dict into the jitted train step (static
@@ -138,6 +139,16 @@ def make_host_prep(plan: EmbedPlan, block: int = DEFAULT_BLOCK,
     NamedShardings) or ``model_shards`` (the predicate fallback) must match
     what apply_updates_fused runs with: it aligns each group's block fences
     to the row-shard boundaries (see :func:`host_prep_group`).
+
+    ``data_shards > 1`` — the host-LOCAL prep contract: the (B, F) batch
+    passed to ``prep`` is split into ``data_shards`` equal row slices (the
+    data-axis shards this process feeds) and each slice is sorted
+    INDEPENDENTLY, so host work is O(rows this process holds), never
+    O(global batch).  Aux arrays gain a leading ``data_shards`` axis
+    (stream-per-shard) that apply_updates_fused consumes via the kernel's
+    multi-stream form; under multi-process feeding the leading axis is
+    this process's share and jax.make_array_from_process_local_data
+    assembles the global (total_data_shards, ...) arrays.
     """
     geoms = []
     for g in range(len(plan.table_names)):
@@ -150,7 +161,7 @@ def make_host_prep(plan: EmbedPlan, block: int = DEFAULT_BLOCK,
             shards = group_shards(plan, g, model_shards)
         geoms.append((pack, vp, min(block, vp // shards), shards))
 
-    def prep(sparse: np.ndarray) -> dict:
+    def prep_one(sparse: np.ndarray) -> dict:
         aux = {}
         for g, (pack, vp, blk, shards) in enumerate(geoms):
             cols = plan.group_cols[g]
@@ -166,6 +177,22 @@ def make_host_prep(plan: EmbedPlan, block: int = DEFAULT_BLOCK,
             aux[f"embaux{g}_idx"] = idx
             aux[f"embaux{g}_ptr"] = cptr
         return aux
+
+    if data_shards == 1:
+        return prep_one
+
+    def prep(sparse: np.ndarray) -> dict:
+        n = sparse.shape[0]
+        if n % data_shards:
+            raise ValueError(
+                f"batch rows {n} not divisible by data_shards={data_shards}"
+            )
+        bs = n // data_shards
+        per = [prep_one(sparse[s * bs:(s + 1) * bs])
+               for s in range(data_shards)]
+        return {
+            k: np.stack([p[k] for p in per]) for k in per[0]
+        }
 
     return prep
 
@@ -200,7 +227,13 @@ def apply_updates_fused(
     ``mesh`` runs the same exact math SPMD.  Data axis: ONE all-gather
     brings the (n, D) cotangent into the global sorted order (N·D/step on
     the wire — the same payload the sparse-optimizer path psums, and
-    ~V·D/N times less than psum-ing dense table grads).  Model axis: each
+    ~V·D/N times less than psum-ing dense table grads).  When the aux
+    arrays carry a leading stream axis (host-LOCAL prep,
+    ``make_host_prep(..., data_shards=Sd)``), each data shard first
+    permutes only its LOCAL cotangent rows (1/Sd of the per-device gather
+    work) and the kernel consumes the Sd per-shard sorted streams — host
+    prep is O(local batch) per process and no process ever needs the
+    global batch.  Model axis: each
     row-sharded table group updates shard-locally — host prep aligned the
     block fences to shard boundaries, so shard ``s`` runs the SAME
     streaming kernel over its local (vs, wide) rows with the
@@ -221,7 +254,7 @@ def apply_updates_fused(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from recsys_tpu.parallel.mesh import MODEL_AXIS
+        from recsys_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
         n_model = mesh.shape.get(MODEL_AXIS, 1)
         rep = NamedSharding(mesh, P())
@@ -235,26 +268,91 @@ def apply_updates_fused(
         else:
             sg = group_shards(plan, g, n_model)
         cols = plan.group_cols[g]
-        cot = jnp.concatenate([pert_grad[:, j, :] for j in cols])  # (n, d)
+        ids_aux = batch[f"embaux{g}_ids"]
         idx = batch[f"embaux{g}_idx"]
-        cot_sorted = jnp.take(cot, idx, axis=0)
-        if mm_bf16:
-            # fuse the bf16 cast into the gather's output
-            cot_sorted = cot_sorted.astype(jnp.bfloat16)
-        if mesh is not None:
-            # the global sorted permutation crosses data shards: constrain
-            # replicated so XLA emits one all-gather here, not inside the
-            # kernel's operands
-            cot_sorted = jax.lax.with_sharding_constraint(cot_sorted, rep)
+        ptr_aux = batch[f"embaux{g}_ptr"]
+        streamed = ids_aux.ndim == 3  # (Sd, nc_s, ch): host-local prep
+        if not streamed:
+            streams = 1
+            cot = jnp.concatenate(
+                [pert_grad[:, j, :] for j in cols]
+            )  # (n, d)
+            cot_sorted = jnp.take(cot, idx, axis=0)
+            if mm_bf16:
+                # fuse the bf16 cast into the gather's output
+                cot_sorted = cot_sorted.astype(jnp.bfloat16)
+            if mesh is not None:
+                # the global sorted permutation crosses data shards:
+                # constrain replicated so XLA emits one all-gather here,
+                # not inside the kernel's operands
+                cot_sorted = jax.lax.with_sharding_constraint(
+                    cot_sorted, rep
+                )
+            ids2d, cptr = ids_aux, ptr_aux
+        else:
+            # Host-LOCAL prep: per-data-shard sorted streams.  Each data
+            # shard permutes only ITS cotangent rows (1/Sd of the gather
+            # work per device, in parallel), the sorted streams replicate
+            # through ONE all-gather (the same wire bytes the global
+            # contract moved), and the kernel consumes all Sd streams per
+            # table block.  Summation order differs from the global sort
+            # only across stream boundaries (f32 accumulate).
+            streams = int(ids_aux.shape[0])
+            if mesh is not None:
+                n_data = mesh.shape.get(DATA_AXIS, 1)
+                if streams != n_data:
+                    raise ValueError(
+                        f"streamed prep has {streams} streams but the "
+                        f"mesh data axis is {n_data}"
+                    )
+
+                def local_sort(pg, idx_blk, cols=cols):
+                    # pg (B_local, F, d); idx_blk (1, nc_s*ch) local perm
+                    cot_l = jnp.concatenate(
+                        [pg[:, j, :] for j in cols], axis=0
+                    )
+                    out = jnp.take(cot_l, idx_blk[0], axis=0)
+                    return out.astype(jnp.bfloat16) if mm_bf16 else out
+
+                from jax import shard_map
+
+                cot_sorted = shard_map(
+                    local_sort,
+                    mesh=mesh,
+                    in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )(pert_grad, idx)
+                cot_sorted = jax.lax.with_sharding_constraint(
+                    cot_sorted, rep
+                )
+            else:
+                b_total = pert_grad.shape[0]
+                bs = b_total // streams
+                parts = []
+                for s in range(streams):
+                    blk_rows = pert_grad[s * bs:(s + 1) * bs]
+                    cot_l = jnp.concatenate(
+                        [blk_rows[:, j, :] for j in cols], axis=0
+                    )
+                    parts.append(jnp.take(cot_l, idx[s], axis=0))
+                cot_sorted = jnp.concatenate(parts, axis=0)
+                if mm_bf16:
+                    cot_sorted = cot_sorted.astype(jnp.bfloat16)
+            ids2d = ids_aux.reshape(-1, ids_aux.shape[-1])
+            cptr = ptr_aux.reshape(-1)
+            if mesh is not None:
+                ids2d = jax.lax.with_sharding_constraint(ids2d, rep)
+                cptr = jax.lax.with_sharding_constraint(cptr, rep)
         t = tables[name]
         vs = t.shape[0] // sg  # local rows per model shard
         blk = min(block, vs)
         kw = dict(
             block=blk, ch=ch, pack=pack, d=d,
             wd=weight_decay, mm_bf16=mm_bf16, interpret=interpret,
+            streams=streams,
         )
-        aux_in = (cot_sorted, batch[f"embaux{g}_ids"],
-                  batch[f"embaux{g}_ptr"])
+        aux_in = (cot_sorted, ids2d, cptr)
         if kind == "adam":
             def run(t_, m_, v_, cs_, ids_, ptr_, step_, kw=kw):
                 return fused_bwd_adam(t_, m_, v_, cs_, ids_, ptr_, step_,
@@ -282,15 +380,21 @@ def apply_updates_fused(
             # model-axis row-sharded group: rebase ids to the local shard
             # and hand each shard its cptr window (fences are shard-aligned
             # by host prep, so the window's chunks index the REPLICATED
-            # ids2d/cot arrays directly — no chunk rebasing needed)
+            # ids2d/cot arrays directly — no chunk rebasing needed).  With
+            # ``streams`` > 1 the window is taken from EACH stream's cptr
+            # segment (all segments carry sg*nb_s+1 shard-aligned fences).
             nb_s = -(-vs // blk)
+            nb1_full = cptr.shape[0] // streams  # entries per stream seg
 
-            def run(*a, run_=run, nb_s=nb_s, vs=vs, pack=pack, n_t=n_t):
+            def run(*a, run_=run, nb_s=nb_s, vs=vs, pack=pack, n_t=n_t,
+                    streams=streams, nb1_full=nb1_full):
                 s = jax.lax.axis_index(MODEL_AXIS)
                 ids_l = a[n_t + 1] - s * (vs * pack)
-                ptr_l = jax.lax.dynamic_slice_in_dim(
-                    a[n_t + 2], s * nb_s, nb_s + 1
-                )
+                ptr_full = a[n_t + 2].reshape(streams, nb1_full)
+                ptr_l = jax.lax.dynamic_slice(
+                    ptr_full, (jnp.int32(0), s * nb_s),
+                    (streams, nb_s + 1),
+                ).reshape(-1)
                 return run_(*a[:n_t + 1], ids_l, ptr_l, *a[n_t + 3:])
 
         if mesh is None:

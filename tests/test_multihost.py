@@ -51,7 +51,7 @@ def test_two_process_mesh_trains_both_engines():
             r"RESULT proc=(\d) engine=(\w+) loss=([0-9.e+-]+)", out
         ):
             losses.setdefault(m.group(2), set()).add(m.group(3))
-    assert set(losses) == {"gather", "a2a", "fused"}, losses
+    assert set(losses) == {"gather", "a2a", "fused", "fused_local"}, losses
     for engine, vals in losses.items():
         assert len(vals) == 1, (engine, vals)  # procs agree bit-for-bit
     # the fused streaming update across 2 processes matches a
@@ -77,3 +77,19 @@ def test_two_process_mesh_trains_both_engines():
     (two_proc_loss,) = losses["fused"]
     np.testing.assert_allclose(h["loss"][0], float(two_proc_loss),
                                rtol=0, atol=1e-6)
+    # the LOCAL-contract 2-process run (each process passed only its 32
+    # rows, per-shard host prep) matches a single-process local-contract
+    # run of the same mesh shape: same one-batch dataset, so only f32
+    # reduction order across shuffled row order / streams differs
+    schema2, data2 = synthetic_ctr(num_examples=64, num_dense=2,
+                                   num_sparse=4, vocab_size=64,
+                                   embed_dim=4, seed=13)
+    tr2 = Trainer(DLRM(schema2, bottom_units=(16, 4), top_units=(16,),
+                       sparse_embed_grads=True),
+                  learning_rate=1e-2, mesh=make_mesh(data=4, model=2),
+                  seed=3, embedding_optimizer="fused_adam",
+                  embedding_fused_bf16=False, data_contract="local")
+    h2 = tr2.fit(data2, batch_size=64, epochs=2, verbose=False)
+    (local_loss,) = losses["fused_local"]
+    np.testing.assert_allclose(h2["loss"][-1], float(local_loss),
+                               rtol=0, atol=2e-5)

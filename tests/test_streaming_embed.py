@@ -442,3 +442,149 @@ def test_native_fused_prep_matches_numpy():
         for x, y, name in zip(a, b, ("ids2d", "idx", "cptr")):
             np.testing.assert_array_equal(
                 x, y, err_msg=f"{name} n={n} vocab={vocab} pack={pack}")
+
+
+def test_fused_adam_multi_stream_matches_dense_reference():
+    """kernel ``streams`` form (host-LOCAL prep): S independently sorted
+    per-shard chunk streams must produce the same dense-Adam result as the
+    global sort (VERDICT r4 missing #2 — O(local) host prep)."""
+    from recsys_tpu.kernels.pallas.embedding_update_tpu import fused_bwd_adam
+
+    rng = np.random.default_rng(5)
+    vocab, pack, d, n, block, ch, S = 500, 8, 16, 256, 16, 32, 4
+    vp = ((-(-vocab // pack)) + 7) // 8 * 8
+    wide = pack * d
+    ids = rng.integers(0, vocab, n).astype(np.int32)
+    cot = np.asarray(
+        jnp.asarray(rng.standard_normal((n, d)) * 1e-2, jnp.bfloat16)
+        .astype(jnp.float32)
+    )
+    p = rng.uniform(-0.05, 0.05, (vp, wide)).astype(np.float32)
+    m = (rng.standard_normal((vp, wide)) * 1e-3).astype(np.float32)
+    v = rng.uniform(1e-8, 1e-4, (vp, wide)).astype(np.float32)
+    step = 3
+
+    # per-shard local prep: each stream sorts only its n/S slice
+    ns = n // S
+    ids2d_l, cs_l, cptr_l = [], [], []
+    for s in range(S):
+        sl = slice(s * ns, (s + 1) * ns)
+        i2, ix, cp = host_prep_group(ids[sl], pack=pack, vp=vp,
+                                     block=block, ch=ch)
+        ids2d_l.append(i2)
+        cs_l.append(np.take(cot[sl], ix, axis=0))
+        cptr_l.append(cp)
+    got = fused_bwd_adam(
+        jnp.asarray(p), jnp.asarray(m), jnp.asarray(v),
+        jnp.asarray(np.concatenate(cs_l)),
+        jnp.asarray(np.concatenate(ids2d_l)),
+        jnp.asarray(np.concatenate(cptr_l)),
+        jnp.int32(step), block=block, ch=ch, pack=pack, d=d,
+        mm_bf16=True, interpret=True, streams=S,
+    )
+    want = _dense_reference(
+        p.astype(np.float64), m.astype(np.float64), v.astype(np.float64),
+        cot, ids, step, pack=pack, d=d,
+    )
+    for name, a, b in zip("pmv", got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=2e-4, atol=1e-7, err_msg=name
+        )
+
+
+def test_trainer_local_contract_matches_global_dp():
+    """data_contract='local' on a pure-DP mesh: per-shard host prep +
+    shard-local cotangent permute + the kernel's multi-stream form must
+    track the global-contract run (same batches under one process — only
+    f32 summation order across streams differs)."""
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.train import sparse_embed
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=512, num_dense=4,
+                                 num_sparse=5, vocab_size=64, embed_dim=8,
+                                 seed=7)
+
+    def run(contract):
+        tr = Trainer(
+            DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+                 sparse_embed_grads=True),
+            learning_rate=1e-2, embedding_optimizer="fused_adam",
+            embedding_fused_bf16=False, seed=11,
+            mesh=make_mesh(data=8, model=1), data_contract=contract,
+        )
+        hist = tr.fit(data, batch_size=128, epochs=2, verbose=False)
+        _, tables = sparse_embed.split_params(tr.state.params,
+                                              tr._embed_plan)
+        return hist["loss"], {k: np.asarray(v) for k, v in tables.items()}
+
+    loss_g, tab_g = run("global")
+    loss_l, tab_l = run("local")
+    np.testing.assert_allclose(loss_l, loss_g, rtol=1e-5)
+    for k in tab_g:
+        np.testing.assert_allclose(tab_l[k], tab_g[k], rtol=1e-4,
+                                   atol=1e-7)
+
+
+def test_trainer_local_contract_model_axis():
+    """local contract composes with the model axis: per-stream cptr
+    windows slice each stream's shard-aligned fences."""
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.train import sparse_embed
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=512, num_dense=4,
+                                 num_sparse=5, vocab_size=64, embed_dim=8,
+                                 seed=7)
+
+    def run(mesh, contract):
+        tr = Trainer(
+            DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+                 sparse_embed_grads=True),
+            learning_rate=1e-2, embedding_optimizer="fused_adam",
+            embedding_fused_bf16=False, seed=11, mesh=mesh,
+            data_contract=contract,
+        )
+        hist = tr.fit(data, batch_size=128, epochs=2, verbose=False)
+        _, tables = sparse_embed.split_params(tr.state.params,
+                                              tr._embed_plan)
+        return hist["loss"], {k: np.asarray(v) for k, v in
+                              tables.items()}, tr
+
+    loss1, tab1, _ = run(None, "global")
+    loss42, tab42, tr42 = run(make_mesh(data=4, model=2), "local")
+    assert any(s > 1 for s in tr42._fused_shards.values())
+    np.testing.assert_allclose(loss42, loss1, rtol=1e-4)
+    for k in tab1:
+        np.testing.assert_allclose(tab42[k], tab1[k], rtol=1e-3, atol=1e-6)
+
+
+def test_local_contract_evaluate_loss_tail_correction():
+    """local-mode evaluate_loss pads each process's tail and subtracts the
+    tile term exactly (single-process: must equal the global path)."""
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=300, num_dense=4,
+                                 num_sparse=5, vocab_size=64, embed_dim=8,
+                                 seed=3)
+
+    def run(contract):
+        tr = Trainer(
+            DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+                 sparse_embed_grads=True),
+            learning_rate=1e-2, embedding_optimizer="fused_adam",
+            embedding_fused_bf16=False, seed=1,
+            mesh=make_mesh(data=8, model=1), data_contract=contract,
+        )
+        tr.fit(data, batch_size=64, epochs=1, verbose=False)
+        # 300 % 128 != 0 -> tail batch is padded
+        return tr.evaluate_loss(data, batch_size=128)
+
+    assert abs(run("local") - run("global")) < 1e-5
