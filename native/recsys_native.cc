@@ -98,6 +98,66 @@ int64_t parse_criteo(const char* path, char sep, int64_t max_rows,
   return row;
 }
 
+// Chunked criteo parsing — the out-of-core ingestion primitive.  Resumes
+// at byte *start_offset* (0 = file start; the header is skipped only
+// then), parses up to max_rows rows, and writes the next read offset so
+// the caller can stream a larger-than-RAM file through a fixed-size
+// buffer.  Returns rows parsed (0 at EOF, -1 on open/seek failure).
+int64_t parse_criteo_chunk(const char* path, char sep, int64_t start_offset,
+                           int64_t max_rows, int64_t cat_buckets,
+                           int skip_header, float* labels,
+                           float* dense /* (rows,13) */,
+                           int32_t* sparse /* (rows,26) */,
+                           int64_t* next_offset) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (start_offset > 0 && fseek(f, (long)start_offset, SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
+  char* line = nullptr;
+  size_t cap = 0;
+  int64_t row = 0;
+  if (skip_header && start_offset == 0) {
+    if (getline(&line, &cap, f) < 0) {
+      *next_offset = ftell(f);
+      fclose(f);
+      free(line);
+      return 0;
+    }
+  }
+  while (row < max_rows) {
+    ssize_t len = getline(&line, &cap, f);
+    if (len < 0) break;
+    char* p = line;
+    char* end = line + len;
+    while (end > p && (end[-1] == '\n' || end[-1] == '\r')) --end;
+    int field = 0;
+    char* tok = p;
+    for (char* q = p; q <= end && field < 40; ++q) {
+      if (q == end || *q == sep) {
+        size_t tl = (size_t)(q - tok);
+        if (field == 0) {
+          labels[row] = tl ? (float)atof(tok) : 0.f;
+        } else if (field <= 13) {
+          dense[row * 13 + (field - 1)] = tl ? (float)atof(tok) : 0.f;
+        } else {
+          uint64_t h = fnv1a64(tok, tl);
+          sparse[row * 26 + (field - 14)] =
+              (int32_t)(h % (uint64_t)cat_buckets);
+        }
+        ++field;
+        tok = q + 1;
+      }
+    }
+    if (field >= 14) ++row;
+  }
+  *next_offset = ftell(f);
+  free(line);
+  fclose(f);
+  return row;
+}
+
 // --------------------------------------------------------------- PCG32 rng
 struct Pcg32 {
   uint64_t state, inc;

@@ -49,7 +49,19 @@ def _ctr_model(name, schema, **kw):
 def run_ctr(args):
     from recsys_tpu.train.loop import Trainer
 
-    if args.data:
+    stream = None
+    if args.data and (args.stream or any(c in args.data for c in "*?[")):
+        # out-of-core path: a glob (or --stream) streams criteo-format
+        # files chunkwise through the native resumable parser — peak host
+        # memory is one chunk, so full-size criteo train.txt fits any host
+        from recsys_tpu.data.streaming import CriteoStream
+
+        stream = CriteoStream(
+            args.data, batch_size=args.batch_size,
+            embed_dim=args.embed_dim,
+        )
+        schema, train, test = stream.schema, stream, None
+    elif args.data:
         from recsys_tpu.data.criteo import create_criteo_dataset
 
         schema, train, test = create_criteo_dataset(
@@ -96,6 +108,10 @@ def run_ctr(args):
         embedding_optimizer=args.embedding_optimizer or None,
         mesh=mesh,
     )
+    if stream is not None:
+        hist = tr.fit(train, epochs=args.epochs)
+        print(f"final train loss: {hist['loss'][-1]:.5f}")
+        return hist["loss"][-1]
     tr.fit(
         train,
         batch_size=args.batch_size,
@@ -448,7 +464,11 @@ def main(argv=None):
     p.add_argument("task", choices=["ctr", "din", "multitask", "match",
                                     "ncf", "sasrec", "youtube", "mind"])
     p.add_argument("--model", default="fm")
-    p.add_argument("--data", default=None, help="criteo csv path")
+    p.add_argument("--data", default=None,
+                   help="criteo csv path; a glob (or --stream) selects "
+                   "the out-of-core chunk-streaming loader")
+    p.add_argument("--stream", action="store_true",
+                   help="stream --data chunkwise (larger-than-RAM files)")
     p.add_argument("--reviews", default=None)
     p.add_argument("--meta", default=None)
     p.add_argument("--census", nargs=2, default=None)
@@ -492,7 +512,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.task in ("youtube", "mind"):
         args.model = "mind" if args.task == "mind" else "youtube"
-    {
+    return {
         "ctr": run_ctr,
         "din": run_din,
         "multitask": run_multitask,

@@ -40,6 +40,13 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.parse_criteo_chunk.restype = ctypes.c_int64
+    lib.parse_criteo_chunk.argtypes = [
+        ctypes.c_char_p, ctypes.c_char, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.sample_negatives.restype = None
     lib.sample_negatives.argtypes = [
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -102,6 +109,43 @@ def parse_criteo(
     if n < 0:
         raise IOError(f"cannot open {path}")
     return labels[:n], dense[:n], sparse[:n]
+
+
+def parse_criteo_chunk(
+    path: str, offset: int, max_rows: int, *, sep: str = ",",
+    cat_buckets: int = 1 << 20, skip_header: bool = True,
+    out: tuple | None = None,
+):
+    """Parse up to ``max_rows`` criteo rows starting at byte ``offset``.
+
+    Returns ((labels, dense, sparse) views of ``out`` truncated to the
+    parsed row count, next_offset).  ``out`` — optional reusable buffers
+    (labels (R,), dense (R,13), sparse (R,26)) so a streaming epoch
+    allocates nothing per chunk; next_offset == offset and 0 rows at EOF.
+    The out-of-core ingestion primitive behind data.streaming.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if out is None:
+        out = (
+            np.zeros(max_rows, np.float32),
+            np.zeros((max_rows, 13), np.float32),
+            np.zeros((max_rows, 26), np.int32),
+        )
+    labels, dense, sparse = out
+    next_off = ctypes.c_int64(0)
+    n = lib.parse_criteo_chunk(
+        path.encode(), sep.encode(), offset, max_rows, cat_buckets,
+        1 if skip_header else 0,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sparse.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(next_off),
+    )
+    if n < 0:
+        raise IOError(f"cannot open/seek {path} at {offset}")
+    return (labels[:n], dense[:n], sparse[:n]), int(next_off.value)
 
 
 def sample_negatives(
