@@ -43,12 +43,31 @@ WARMUP = 5
 STEPS = 40  # longer window: tunnel throughput varies run to run
 
 
-def _data(rng):
+def _zipf_col(rng, n, vocab, a=1.1):
+    """Zipf(a) ranks through a random per-field permutation — the Criteo
+    categorical skew regime (data/realistic.py's model; ref
+    src/ctr/utils/data_process.py:57-66 label-encodes such traffic)."""
+    r = rng.zipf(a, size=n * 4)
+    r = r[r <= vocab][:n]
+    while r.shape[0] < n:
+        extra = rng.zipf(a, size=n)
+        r = np.concatenate([r, extra[extra <= vocab]])[:n]
+    return rng.permutation(vocab)[r - 1].astype(np.int32)
+
+
+def _data(rng, id_dist: str = "uniform"):
+    if id_dist == "zipf":
+        sparse = np.stack(
+            [_zipf_col(rng, BATCH, VOCAB) for _ in range(NUM_SPARSE)],
+            axis=1,
+        )
+    else:
+        sparse = rng.integers(
+            0, VOCAB, (BATCH, NUM_SPARSE), dtype=np.int64
+        ).astype(np.int32)
     return {
         "dense": jnp.asarray(rng.random((BATCH, NUM_DENSE), np.float32)),
-        "sparse": jnp.asarray(
-            rng.integers(0, VOCAB, (BATCH, NUM_SPARSE), dtype=np.int64).astype(np.int32)
-        ),
+        "sparse": jnp.asarray(sparse),
         "label": jnp.asarray(rng.integers(0, 2, BATCH).astype(np.float32)),
     }
 
@@ -67,7 +86,7 @@ def _time_steps(step, state, batch):
 
 def bench_framework(rng, embed_update: str = "fused",
                     embed_optimizer: str = "adam",
-                    fused_mlps: bool = False):
+                    fused_mlps: bool = False, id_dist: str = "uniform"):
     """The framework's DLRM step.  ``embed_update``:
 
     * 'fused' (default) — the production single-chip path: table backward +
@@ -94,7 +113,7 @@ def bench_framework(rng, embed_update: str = "fused",
                  top_units=(1024, 1024, 512, 256),
                  compute_dtype=jnp.bfloat16,
                  sparse_embed_grads=fused, fused_mlps=fused_mlps)
-    batch = _data(rng)
+    batch = _data(rng, id_dist)
     variables = model.init(jax.random.PRNGKey(0), batch, training=False)
     params = variables["params"]
     tx = optax.adam(1e-3)
@@ -168,7 +187,7 @@ def bench_framework(rng, embed_update: str = "fused",
     return _time_steps(step, state, batch)
 
 
-def bench_naive(rng):
+def bench_naive(rng, id_dist: str = "uniform"):
     """Reference-style DLRM: one table per field, Python-loop gathers, fp32."""
     from recsys_tpu.train.losses import bce_with_logits
 
@@ -194,7 +213,7 @@ def bench_naive(rng):
         ) * 0.05
         params[f"top_b{i}"] = jnp.zeros((tdims[i + 1],))
 
-    batch = _data(rng)
+    batch = _data(rng, id_dist)
     tx = optax.adam(1e-3)
     state = (params, tx.init(params))
 
@@ -338,6 +357,15 @@ def main(argv=None):
         "the long-context regime VERDICT r3 #6 asks for)",
     )
     p.add_argument(
+        "--id-dist", choices=["uniform", "zipf"], default="uniform",
+        help="sparse-id distribution for the DLRM bench: uniform (~92%% "
+        "unique physical rows per field) or zipf(1.1) production skew "
+        "(~24%% unique — the Criteo categorical regime).  Measured: the "
+        "step is skew-INVARIANT (the gather's per-row cost does not "
+        "depend on locality; tools/dedup_probe.py closes the dedup "
+        "lever as a negative)",
+    )
+    p.add_argument(
         "--breakdown", action="store_true",
         help="per-phase device timings + HBM/MXU speed-of-light roofline "
         "for the DLRM step (tools/roofline); prints the breakdown JSON "
@@ -363,12 +391,14 @@ def main(argv=None):
         return
     fw = bench_framework(rng, embed_update=args.embed_update,
                          embed_optimizer=args.embed_optimizer,
-                         fused_mlps=args.fused_mlps)
-    naive = bench_naive(rng)
+                         fused_mlps=args.fused_mlps, id_dist=args.id_dist)
+    naive = bench_naive(rng, id_dist=args.id_dist)
     suffix = (
         "" if args.embed_optimizer == "adam"
         else f"_{args.embed_optimizer}"
     )
+    if args.id_dist != "uniform":
+        suffix += f"_{args.id_dist}"
     _emit({
         "metric": f"dlrm_criteo_train_examples_per_s{suffix}",
         "value": round(fw, 1),
