@@ -69,11 +69,95 @@ def aggregate(paths: list[str]) -> dict:
     return out
 
 
+_METRIC_HINTS = ("auc", "recall", "hr@", "ndcg")
+
+
+def _metrics_of(d: dict, prefix: str = "") -> dict:
+    """Flatten the numeric quality metrics of one protocol report
+    (top-level HR@10/recall@10/... and per-model auc_*/recall@* entries;
+    seconds/epoch bookkeeping excluded)."""
+    out = {}
+    for k, v in d.items():
+        lk = k.lower()
+        if k == "models" and isinstance(v, dict):
+            for m, mv in v.items():
+                out.update(_metrics_of(mv, prefix=f"{m}."))
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            if any(h in lk for h in _METRIC_HINTS):
+                out[prefix + k] = float(v)
+    return out
+
+
+def aggregate_generic(paths: list[str]) -> dict:
+    """Mode-agnostic multi-seed aggregation (VERDICT r4 next-step #6):
+    groups runs by their 'mode' field, reports every quality metric's
+    per-seed values + mean±sd, and (for the dssm mode) the paired
+    dssm-vs-senet verdict per seed."""
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            runs.append(json.load(f))
+    out: dict = {"modes": {}}
+    for mode in sorted({r.get("mode", "ctr") for r in runs}):
+        rs = [r for r in runs if r.get("mode", "ctr") == mode]
+        metrics: dict[str, list[float]] = {}
+        for r in rs:
+            for k, v in _metrics_of(r).items():
+                metrics.setdefault(k, []).append(v)
+        table = {}
+        for k, vals in sorted(metrics.items()):
+            table[k] = {
+                "values": [round(v, 4) for v in vals],
+                "mean": round(float(np.mean(vals)), 4),
+                "sd": round(float(np.std(vals, ddof=1)), 4)
+                if len(vals) > 1 else None,
+            }
+        entry: dict = {"seeds": len(rs), "metrics": table}
+        if mode == "dssm":
+            per_seed = [
+                r["models"]["dssm"]["recall@10"]
+                > r["models"]["senet"]["recall@10"]
+                for r in rs
+                if "dssm" in r.get("models", {})
+                and "senet" in r.get("models", {})
+            ]
+            entry["dssm_beats_senet_per_seed"] = per_seed
+        if mode == "census":
+            per_seed = [
+                r["models"]["mmoe"]["auc_income"]
+                > r["models"]["ple"]["auc_income"]
+                for r in rs
+                if "mmoe" in r.get("models", {})
+                and "ple" in r.get("models", {})
+            ]
+            entry["mmoe_beats_ple_income_per_seed"] = per_seed
+        out["modes"][mode] = entry
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("paths", nargs="+", help="protocol_ctr_*.json artifacts")
     p.add_argument("--out", default=None)
+    p.add_argument("--generic", action="store_true",
+                   help="mode-agnostic aggregation for the non-ctr "
+                   "protocols (ncf/sasrec/mind/dssm/census)")
     args = p.parse_args(argv)
+    if args.generic:
+        rep = aggregate_generic(args.paths)
+        w = sys.stderr.write
+        for mode, entry in rep["modes"].items():
+            w(f"\nmode={mode} ({entry['seeds']} seeds)\n")
+            w("| metric | mean±sd | per-seed |\n|---|---|---|\n")
+            for k, v in entry["metrics"].items():
+                sd = f"±{v['sd']:.4f}" if v["sd"] is not None else ""
+                w(f"| {k} | {v['mean']:.4f}{sd} | {v['values']} |\n")
+        payload = json.dumps(rep)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(payload + "\n")
+        print(payload)
+        return
     rep = aggregate(args.paths)
 
     w = sys.stderr.write
