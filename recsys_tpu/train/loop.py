@@ -771,10 +771,11 @@ class Trainer:
         None).  The memory-bounded path for catalog-scale prediction."""
         if self.data_contract == "local" and jax.process_count() > 1:
             raise NotImplementedError(
-                "predict/evaluate_auc fetch per-example outputs to the "
-                "host and keep the global contract: pass the same global "
-                "arrays on every process (fit/evaluate_loss are the "
-                "local-contract surfaces)"
+                "predict fetches per-example outputs to the host and "
+                "keeps the global contract: pass the same global arrays "
+                "on every process (fit / evaluate_loss / "
+                "evaluate_auc(streaming=True) are the local-contract "
+                "surfaces)"
             )
         if self._eval_step is None:
             self._build_steps()
@@ -804,14 +805,22 @@ class Trainer:
         )
 
     def evaluate_auc(
-        self, data: dict, batch_size: int = 4096, label_key: str = "label",
+        self, data, batch_size: int = 4096, label_key: str = "label",
         from_logits: bool = True, streaming: bool = False,
     ) -> float:
         """Test AUC.  ``streaming=True`` accumulates fixed-size score
         histograms on device (never gathering per-example scores to the
         host) — the shard-friendly path; the default gathers predictions
-        (simpler, exact to histogram resolution either way)."""
-        if not streaming:
+        (simpler, exact to histogram resolution either way).
+
+        ``data`` may also be an ITERABLE of batch dicts (out-of-core eval,
+        e.g. data.streaming.CriteoStream) — implies the histogram path, so
+        an arbitrarily large test set streams through one batch of memory.
+        Under ``data_contract='local'`` the histogram path also accepts
+        process-local arrays/batches (the histogram is a replicated device
+        scalar accumulator, so each process reads the same global AUC)."""
+        data_is_stream = not isinstance(data, dict)
+        if not streaming and not data_is_stream:
             preds = self.predict(data, batch_size)
             scores = jax.nn.sigmoid(preds) if from_logits else preds
             return metrics_lib.auc(np.asarray(scores), data[label_key])
@@ -846,12 +855,29 @@ class Trainer:
             self._hist_steps[key] = hist_step
         hist_step = self._hist_steps[key]
 
-        acc = metrics_lib.AucAccumulator(num_bins)
-        for batch in prefetch(self._batches(data, batch_size, False, False)):
-            valid = jnp.asarray(
-                batch.pop("_valid", np.ones(batch_size, np.float32))
+        local = self.data_contract == "local"
+        put = mesh_lib.shard_batch_local if local else mesh_lib.shard_batch
+        if data_is_stream:
+            batches = data() if callable(data) else iter(data)
+        else:
+            slice_bs = (
+                batch_size // jax.process_count() if local else batch_size
             )
-            db = mesh_lib.shard_batch(_device_batch(batch), self.mesh)
+            batches = self._batches(data, slice_bs, False, False)
+        acc = metrics_lib.AucAccumulator(num_bins)
+        for batch in prefetch(batches):
+            n_rows = len(batch[label_key])
+            valid_np = np.asarray(
+                batch.pop("_valid", np.ones(n_rows, np.float32)),
+                np.float32,
+            )
+            host = _device_batch(batch)
+            # ship the validity weights through the same (possibly
+            # process-local) assembly as the batch rows so their global
+            # shape matches the scores
+            host["validw"] = valid_np
+            db = put(host, self.mesh)
+            valid = db.pop("validw")
             pos, neg = hist_step(self.state, db, valid)
             acc.pos = acc.pos + pos
             acc.neg = acc.neg + neg

@@ -127,3 +127,38 @@ def test_cli_stream_glob(tmp_path):
         "--epochs", "2", "--batch-size", "512", "--embed-dim", "4",
     ])
     assert np.isfinite(loss)
+
+
+def test_evaluate_auc_over_stream_matches_arrays(tmp_path):
+    """Out-of-core eval: evaluate_auc over a CriteoStream equals the
+    in-memory histogram path on the same rows (local contract included)."""
+    from recsys_tpu.data.streaming import CriteoStream
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.parallel.mesh import make_mesh
+    from recsys_tpu.train.loop import Trainer
+
+    p = str(tmp_path / "ev.csv")
+    _write_criteo(p, 4096, seed=6)
+    ds = CriteoStream(p, batch_size=512, chunk_rows=1024, embed_dim=4,
+                      cat_buckets=1 << 10, shuffle=False)
+    arrays = {"label": [], "dense": [], "sparse": []}
+    for b in ds:
+        for k in arrays:
+            arrays[k].append(b[k])
+    arrays = {k: np.concatenate(v) for k, v in arrays.items()}
+
+    tr = Trainer(DLRM(ds.schema, bottom_units=(16, 4), top_units=(16,)),
+                 learning_rate=1e-2)
+    tr.fit(ds, epochs=1, verbose=False)
+    a_arr = tr.evaluate_auc(arrays, batch_size=512, streaming=True)
+    a_stream = tr.evaluate_auc(ds)
+    assert abs(a_arr - a_stream) < 1e-6, (a_arr, a_stream)
+
+    # local contract on a DP mesh: same batches, same histogram
+    tr2 = Trainer(DLRM(ds.schema, bottom_units=(16, 4), top_units=(16,)),
+                  learning_rate=1e-2, mesh=make_mesh(data=8, model=1),
+                  data_contract="local")
+    tr2.fit(ds, epochs=1, verbose=False)
+    a_local = tr2.evaluate_auc(arrays, batch_size=512, streaming=True)
+    a_local_stream = tr2.evaluate_auc(ds)
+    assert abs(a_local - a_local_stream) < 1e-6
