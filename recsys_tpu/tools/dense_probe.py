@@ -63,17 +63,36 @@ def _opaque(x, s):
     return x + jnp.minimum(s.astype(x.dtype), 0.0)
 
 
+import functools
+import time
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _matmul_chain(x, w, c, iters):
+    """iters chained (m,k)@(k,n) matmuls.  x/w are ARGUMENTS, not closure
+    constants — closures embed the operands in the compile payload, which
+    blows the remote-compile tunnel's size limit at large shapes (HTTP
+    413, same ceiling kernel_sweep hit).  The carry-dependent shift keeps
+    the loop body un-hoistable."""
+    def step(c, _):
+        xs = x + jnp.minimum(c, 0.0).astype(x.dtype)
+        y = jnp.dot(xs, w, preferred_element_type=jnp.float32)
+        return jnp.sum(y).astype(jnp.float32) * 1e-12, None
+
+    return lax.scan(step, c, None, length=iters)[0]
+
+
 def time_matmul(m: int, k: int, n: int, dtype, iters: int = 30) -> dict:
     """Standalone (m,k)@(k,n) timing; returns ms + TFLOP/s."""
     kx, kw = jax.random.split(jax.random.PRNGKey(np.int64(m * k + n)))
     x = jax.random.normal(kx, (m, k), jnp.float32).astype(dtype)
     w = jax.random.normal(kw, (k, n), jnp.float32).astype(dtype) * 0.05
-
-    def fn(s):
-        y = jnp.dot(_opaque(x, s), w, preferred_element_type=jnp.float32)
-        return jnp.sum(y) * 1e-12
-
-    ms = time_chained(fn, jnp.float32(0.0), iters)
+    c0 = jnp.float32(0.0)
+    out = _matmul_chain(x, w, c0, iters)
+    float(out)  # warm (compile) + sync
+    t0 = time.perf_counter()
+    float(_matmul_chain(x, w, c0, iters))
+    ms = (time.perf_counter() - t0) / iters * 1e3
     fl = 2.0 * m * k * n
     return {"m": m, "k": k, "n": n, "ms": round(ms, 4),
             "tflops": round(fl / (ms * 1e-3) / 1e12, 1)}
