@@ -86,7 +86,8 @@ def _time_steps(step, state, batch):
 
 def bench_framework(rng, embed_update: str = "fused",
                     embed_optimizer: str = "adam",
-                    fused_mlps: bool = False, id_dist: str = "uniform"):
+                    fused_mlps: bool = False, id_dist: str = "uniform",
+                    dense_microbatch: int = 1):
     """The framework's DLRM step.  ``embed_update``:
 
     * 'fused' (default) — the production single-chip path: table backward +
@@ -112,7 +113,8 @@ def bench_framework(rng, embed_update: str = "fused",
     model = DLRM(schema, bottom_units=(512, 256, EMBED_DIM),
                  top_units=(1024, 1024, 512, 256),
                  compute_dtype=jnp.bfloat16,
-                 sparse_embed_grads=fused, fused_mlps=fused_mlps)
+                 sparse_embed_grads=fused, fused_mlps=fused_mlps,
+                 dense_microbatch=dense_microbatch)
     batch = _data(rng, id_dist)
     variables = model.init(jax.random.PRNGKey(0), batch, training=False)
     params = variables["params"]
@@ -344,6 +346,11 @@ def main(argv=None):
     p.add_argument("--fused-mlps", action="store_true",
                    help="route the DLRM MLP towers through the fused "
                    "Pallas MLP kernels (ops.mlp.FusedMLP)")
+    p.add_argument("--dense-microbatch", type=int, default=1,
+                   help="slice the dense tail into N per-slice "
+                   "computations (gather stays whole-batch); "
+                   "tools/dense_probe.py measured ~10%% on the isolated "
+                   "phase at N=4")
     p.add_argument(
         "--embed-optimizer", choices=["adam", "rowwise_adagrad"],
         default="adam",
@@ -391,7 +398,8 @@ def main(argv=None):
         return
     fw = bench_framework(rng, embed_update=args.embed_update,
                          embed_optimizer=args.embed_optimizer,
-                         fused_mlps=args.fused_mlps, id_dist=args.id_dist)
+                         fused_mlps=args.fused_mlps, id_dist=args.id_dist,
+                         dense_microbatch=args.dense_microbatch)
     naive = bench_naive(rng, id_dist=args.id_dist)
     suffix = (
         "" if args.embed_optimizer == "adam"
@@ -399,6 +407,8 @@ def main(argv=None):
     )
     if args.id_dist != "uniform":
         suffix += f"_{args.id_dist}"
+    if args.dense_microbatch > 1:
+        suffix += f"_mb{args.dense_microbatch}"
     _emit({
         "metric": f"dlrm_criteo_train_examples_per_s{suffix}",
         "value": round(fw, 1),

@@ -39,6 +39,13 @@ class DLRM(nn.Module):
     # kernels (ops.mlp.FusedMLP — VMEM-resident weights, no hidden-state
     # HBM round trips); requires dropout_rate == 0
     fused_mlps: bool = False
+    # run the dense tail (bottom MLP + interaction + top MLP) as N
+    # per-slice computations over the batch while the embedding gather
+    # stays WHOLE-batch (small gathers pipeline worse — dedup_probe).
+    # Mathematically identical at dropout 0 (per-slice dropout draws
+    # fresh masks); tools/dense_probe.py measured the sliced tail ~10%
+    # faster at bench shapes (smaller live activations).  1 = off.
+    dense_microbatch: int = 1
 
     # passthrough construction kwargs for StackedEmbedding (engine/mesh/
     # capacity_factor/num_groups ... ) -- how the Trainer/CLI select the
@@ -68,21 +75,39 @@ class DLRM(nn.Module):
             return MLP(units, out_dim=out_dim, dropout_rate=dropout,
                        dtype=self.compute_dtype)
 
-        feats = field_embs
-        bottom = None
-        if dense is not None and dense.shape[-1] > 0:
-            bottom = make_mlp(self.bottom_units, d)(dense, training=training)
-            feats = jnp.concatenate(
-                [bottom[:, None, :].astype(feats.dtype), field_embs], axis=1
-            )
+        has_dense = dense is not None and dense.shape[-1] > 0
+        bottom_mlp = make_mlp(self.bottom_units, d) if has_dense else None
+        top_mlp = make_mlp(self.top_units, 1, dropout=self.dropout_rate)
 
-        inter = ikernels.dot_interaction(
-            feats, self_interaction=self.self_interaction
-        )
-        top_in = inter if bottom is None else jnp.concatenate(
-            [bottom.astype(inter.dtype), inter], axis=-1
-        )
-        logits = make_mlp(self.top_units, 1, dropout=self.dropout_rate)(
-            top_in, training=training
-        )[..., 0]
+        def tail(dense_s, fe_s):
+            feats = fe_s
+            bottom = None
+            if has_dense:
+                bottom = bottom_mlp(dense_s, training=training)
+                feats = jnp.concatenate(
+                    [bottom[:, None, :].astype(fe_s.dtype), fe_s], axis=1
+                )
+            inter = ikernels.dot_interaction(
+                feats, self_interaction=self.self_interaction
+            )
+            top_in = inter if bottom is None else jnp.concatenate(
+                [bottom.astype(inter.dtype), inter], axis=-1
+            )
+            return top_mlp(top_in, training=training)[..., 0]
+
+        nm = self.dense_microbatch
+        b = sparse.shape[0]
+        if nm <= 1 or b % nm:
+            logits = tail(dense, field_embs)
+        else:
+            # unrolled slices share the module instances (= one param set);
+            # the gather above stays whole-batch
+            bs = b // nm
+            logits = jnp.concatenate([
+                tail(
+                    dense[i * bs:(i + 1) * bs] if has_dense else None,
+                    field_embs[i * bs:(i + 1) * bs],
+                )
+                for i in range(nm)
+            ])
         return logits.astype(jnp.float32)

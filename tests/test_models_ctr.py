@@ -150,3 +150,49 @@ def test_dlrm_bf16_compute_matches_f32_quality():
         aucs[name] = tr.evaluate_auc(data)
     assert aucs["f32"] > 0.65
     assert abs(aucs["f32"] - aucs["bf16"]) < 0.02, aucs
+
+
+def test_dlrm_dense_microbatch_exact_parity():
+    """dense_microbatch slices the tail but shares the module instances:
+    logits and gradients must match the unsliced model to float tolerance
+    (slicing changes XLA's matmul tiling, so f32 reduction order differs
+    at ~1e-7; dropout 0, gather stays whole-batch)."""
+    import jax
+
+    from recsys_tpu.data.synthetic import synthetic_ctr
+
+    schema, data = synthetic_ctr(num_examples=64, num_dense=5,
+                                 num_sparse=6, vocab_size=50, embed_dim=8,
+                                 seed=9)
+    batch = {k: jnp.asarray(v[:64]) for k, v in data.items()}
+    m1 = DLRM(schema, bottom_units=(16, 8), top_units=(16,))
+    m4 = DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+              dense_microbatch=4)
+    variables = m1.init(jax.random.PRNGKey(0), batch, training=False)
+    # identical param trees (same module instances, just sliced calls)
+    v4 = m4.init(jax.random.PRNGKey(0), batch, training=False)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v4)
+    out1 = m1.apply(variables, batch, training=False)
+    out4 = m4.apply(variables, batch, training=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out4),
+                               rtol=2e-6, atol=1e-7)
+
+    def loss(m, v):
+        return jnp.mean(
+            (m.apply(v, batch, training=False) - batch["label"]) ** 2
+        )
+
+    g1 = jax.grad(lambda v: loss(m1, v))(variables)
+    g4 = jax.grad(lambda v: loss(m4, v))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # non-divisible microbatch falls back to the unsliced tail
+    m3 = DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+              dense_microbatch=3)
+    out3 = m3.apply(variables, batch, training=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out3),
+                               rtol=0, atol=0)  # fallback IS the unsliced path
