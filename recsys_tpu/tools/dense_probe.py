@@ -72,27 +72,42 @@ def _matmul_chain(x, w, c, iters):
     """iters chained (m,k)@(k,n) matmuls.  x/w are ARGUMENTS, not closure
     constants — closures embed the operands in the compile payload, which
     blows the remote-compile tunnel's size limit at large shapes (HTTP
-    413, same ceiling kernel_sweep hit).  The carry-dependent shift keeps
-    the loop body un-hoistable."""
+    413, same ceiling kernel_sweep hit).  The carry-dependent scale (==1
+    at runtime) keeps the loop body un-hoistable; it multiplies the
+    SMALLER operand so the anti-hoist pass costs min(|x|,|w|) bytes, not
+    an extra full pass over the activations (which put a ~0.85 ms HBM
+    floor under every narrow matmul in the first version of this tool)."""
     def step(c, _):
-        xs = x + jnp.minimum(c, 0.0).astype(x.dtype)
-        y = jnp.dot(xs, w, preferred_element_type=jnp.float32)
+        s = (1.0 + jnp.minimum(c, 0.0)).astype(x.dtype)
+        if x.size <= w.size:
+            y = jnp.dot(x * s, w, preferred_element_type=jnp.float32)
+        else:
+            y = jnp.dot(x, w * s, preferred_element_type=jnp.float32)
         return jnp.sum(y).astype(jnp.float32) * 1e-12, None
 
     return lax.scan(step, c, None, length=iters)[0]
 
 
-def time_matmul(m: int, k: int, n: int, dtype, iters: int = 30) -> dict:
-    """Standalone (m,k)@(k,n) timing; returns ms + TFLOP/s."""
+def time_matmul(m: int, k: int, n: int, dtype, iters: int = 120) -> dict:
+    """Standalone (m,k)@(k,n) timing; returns ms + TFLOP/s.
+
+    Two-point (iters vs iters//4) like roofline.time_chained: the fixed
+    ~25 ms dispatch+fetch round trip through the tunnelled backend put a
+    ~0.9 ms floor under every matmul in this tool's first two cuts —
+    differencing two chain lengths cancels it."""
     kx, kw = jax.random.split(jax.random.PRNGKey(np.int64(m * k + n)))
     x = jax.random.normal(kx, (m, k), jnp.float32).astype(dtype)
     w = jax.random.normal(kw, (k, n), jnp.float32).astype(dtype) * 0.05
     c0 = jnp.float32(0.0)
-    out = _matmul_chain(x, w, c0, iters)
-    float(out)  # warm (compile) + sync
-    t0 = time.perf_counter()
-    float(_matmul_chain(x, w, c0, iters))
-    ms = (time.perf_counter() - t0) / iters * 1e3
+
+    def run(nit):
+        float(_matmul_chain(x, w, c0, nit))  # warm (compile) + sync
+        t0 = time.perf_counter()
+        float(_matmul_chain(x, w, c0, nit))
+        return time.perf_counter() - t0
+
+    lo = max(1, iters // 4)
+    ms = max(run(iters) - run(lo), 1e-9) / (iters - lo) * 1e3
     fl = 2.0 * m * k * n
     return {"m": m, "k": k, "n": n, "ms": round(ms, 4),
             "tflops": round(fl / (ms * 1e-3) / 1e12, 1)}
@@ -201,18 +216,21 @@ def main(argv=None):
                  "widths": {"bottom": list(BOTTOM) + [EMBED_DIM],
                             "top": [TOP_IN, *TOP, 1]}}
 
-    # 1. achievable peak: large square bf16 matmul
-    big = time_matmul(8192, 8192, 8192, jnp.bfloat16, args.iters)
+    # 1. achievable peak: large square bf16 matmul (two-point at 60 — the
+    # 6.7 ms body needs few iterations to dominate measurement noise)
+    big = time_matmul(8192, 8192, 8192, jnp.bfloat16, 60)
     rep["achievable_peak"] = big
     w(f"achievable bf16 peak (8192^3): {big['tflops']} TFLOP/s "
       f"({big['ms']} ms)\n")
     peak = big["tflops"]
 
-    # 2. per-matmul isolation at phase shapes
+    # 2. per-matmul isolation at phase shapes (480 iterations: the
+    # narrow layers run tens of microseconds, so the two-point difference
+    # needs a long chain to rise above the ~1-2 ms round-trip jitter)
     rows = []
     floor_ms = 0.0
     for label, m, k, n in phase_matmuls():
-        r = time_matmul(m, k, n, jnp.bfloat16, args.iters)
+        r = time_matmul(m, k, n, jnp.bfloat16, 480)
         r["label"] = label
         r["pct_of_achievable"] = round(100 * r["tflops"] / peak, 1)
         rows.append(r)

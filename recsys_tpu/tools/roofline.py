@@ -68,17 +68,35 @@ def _fetch(tree):
 
 
 def time_chained(fn, carry, iters: int, warmup: int = 1) -> float:
-    """ms per call of carry->carry `fn`, chained through lax.scan."""
-    many = jax.jit(
-        lambda c: lax.scan(lambda c, _: (fn(c), None), c, None, length=iters)[0]
-    )
-    for _ in range(warmup):
-        out = many(carry)
-        _fetch(out)
-    t0 = time.perf_counter()
-    out = many(carry)
-    _fetch(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    """ms per call of carry->carry `fn`, chained through lax.scan.
+
+    TWO-POINT measurement: each host-side timing includes one fixed
+    dispatch + scalar-fetch round trip through the (tunnelled) backend —
+    measured ~25 ms on this environment, i.e. ~0.8 ms/iter of inflation
+    at the old single-point iters=30 (the round-4 phase numbers carry
+    it).  Timing the chain at ``iters`` AND ``iters//4`` and dividing the
+    DIFFERENCE by the extra iterations cancels the fixed cost exactly;
+    the single-point value is the fallback when iters is too small to
+    split."""
+
+    def run(n):
+        many = jax.jit(
+            lambda c: lax.scan(
+                lambda c, _: (fn(c), None), c, None, length=n
+            )[0]
+        )
+        for _ in range(warmup):
+            _fetch(many(carry))
+        t0 = time.perf_counter()
+        _fetch(many(carry))
+        return time.perf_counter() - t0
+
+    lo = max(1, iters // 4)
+    if iters - lo < 2:
+        return run(iters) / iters * 1e3
+    t_hi = run(iters)
+    t_lo = run(lo)
+    return max(t_hi - t_lo, 1e-9) / (iters - lo) * 1e3
 
 
 def _opaque_zero_i32(s: jnp.ndarray) -> jnp.ndarray:
