@@ -87,7 +87,8 @@ def _time_steps(step, state, batch):
 def bench_framework(rng, embed_update: str = "fused",
                     embed_optimizer: str = "adam",
                     fused_mlps: bool = False, id_dist: str = "uniform",
-                    dense_microbatch: int = 1):
+                    dense_microbatch: int = 1,
+                    table_dtype: str = "f32"):
     """The framework's DLRM step.  ``embed_update``:
 
     * 'fused' (default) — the production single-chip path: table backward +
@@ -114,7 +115,9 @@ def bench_framework(rng, embed_update: str = "fused",
                  top_units=(1024, 1024, 512, 256),
                  compute_dtype=jnp.bfloat16,
                  sparse_embed_grads=fused, fused_mlps=fused_mlps,
-                 dense_microbatch=dense_microbatch)
+                 dense_microbatch=dense_microbatch,
+                 embed_kw=({"param_dtype": jnp.bfloat16}
+                           if table_dtype == "bf16" else None))
     batch = _data(rng, id_dist)
     variables = model.init(jax.random.PRNGKey(0), batch, training=False)
     params = variables["params"]
@@ -365,6 +368,14 @@ def main(argv=None):
         "the long-context regime VERDICT r3 #6 asks for)",
     )
     p.add_argument(
+        "--table-dtype", choices=["f32", "bf16"], default="f32",
+        help="embedding MASTER-table dtype.  bf16 halves the gather "
+        "reads and the update's table stream (moments stay f32; Adam "
+        "math in f32 inside the fused kernel) — the byte-diet lever the "
+        "corrected r5 stream_probe re-opened.  Opt-in pending quality "
+        "validation at protocol scale",
+    )
+    p.add_argument(
         "--id-dist", choices=["uniform", "zipf"], default="uniform",
         help="sparse-id distribution for the DLRM bench: uniform (~92%% "
         "unique physical rows per field) or zipf(1.1) production skew "
@@ -400,7 +411,8 @@ def main(argv=None):
     fw = bench_framework(rng, embed_update=args.embed_update,
                          embed_optimizer=args.embed_optimizer,
                          fused_mlps=args.fused_mlps, id_dist=args.id_dist,
-                         dense_microbatch=args.dense_microbatch)
+                         dense_microbatch=args.dense_microbatch,
+                         table_dtype=args.table_dtype)
     naive = bench_naive(rng, id_dist=args.id_dist)
     suffix = (
         "" if args.embed_optimizer == "adam"
@@ -410,6 +422,8 @@ def main(argv=None):
         suffix += f"_{args.id_dist}"
     if args.dense_microbatch != 4:  # non-default tail slicing
         suffix += f"_mb{args.dense_microbatch}"
+    if args.table_dtype != "f32":
+        suffix += f"_t{args.table_dtype}"
     _emit({
         "metric": f"dlrm_criteo_train_examples_per_s{suffix}",
         "value": round(fw, 1),

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(cptr_ref, corr_ref, ids_ref, cot_ref, p_ref, m_ref, v_ref,
             po_ref, mo_ref, vo_ref, g_scr,
             *, block, ch, pack, d, lr, b1, b2, eps, wd, mm_dtype, precision,
-            streams, nc_s, nb1):
+            streams, nc_s, nb1, p_dtype):
     k = pl.program_id(0)
     g_scr[...] = jnp.zeros_like(g_scr)
 
@@ -84,16 +84,19 @@ def _kernel(cptr_ref, corr_ref, ids_ref, cot_ref, p_ref, m_ref, v_ref,
         lax.fori_loop(c0 + s * nc_s, c1 + s * nc_s, chunk_body, 0)
 
     g = g_scr[...]
+    # bf16 master tables read up to f32 for the update math (moments are
+    # always f32); the write casts back to the table dtype
+    p_cur = p_ref[...].astype(jnp.float32)
     if wd:
         # decoupled (AdamW-style) weight decay, matching the Trainer's
         # dense-path optax.adamw and the sparse path's masked decay
-        decay = wd * p_ref[...]
+        decay = wd * p_cur
     m = b1 * m_ref[...] + (1.0 - b1) * g
     v = b2 * v_ref[...] + (1.0 - b2) * g * g
     upd = lr * (m * corr_ref[0]) / (jnp.sqrt(v * corr_ref[1]) + eps)
     if wd:
         upd = upd + lr * decay
-    po_ref[...] = p_ref[...] - upd
+    po_ref[...] = (p_cur - upd).astype(p_dtype)
     mo_ref[...] = m
     vo_ref[...] = v
 
@@ -167,11 +170,16 @@ def fused_bwd_adam(
         _kernel, block=block, ch=ch, pack=pack, d=d, lr=lr, b1=b1, b2=b2,
         eps=eps, wd=wd, mm_dtype=mm_dtype, precision=precision,
         streams=streams, nc_s=ids2d.shape[0] // streams, nb1=nb + 1,
+        p_dtype=p.dtype,
     )
     return pl.pallas_call(
         kern,
         grid_spec=gs,
-        out_shape=(jax.ShapeDtypeStruct(p.shape, p.dtype),) * 3,
+        out_shape=(
+            jax.ShapeDtypeStruct(p.shape, p.dtype),
+            jax.ShapeDtypeStruct(m.shape, m.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
         input_output_aliases={4: 0, 5: 1, 6: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -193,7 +201,7 @@ def fused_bwd_adam(
 def _adagrad_kernel(cptr_ref, hyp_ref, ids_ref, cot_ref, p_ref, a_ref,
                     po_ref, ao_ref, g_scr,
                     *, block, ch, pack, d, eps, wd, mm_dtype, precision,
-                    streams, nc_s, nb1):
+                    streams, nc_s, nb1, p_dtype):
     k = pl.program_id(0)
     g_scr[...] = jnp.zeros_like(g_scr)
 
@@ -243,10 +251,11 @@ def _adagrad_kernel(cptr_ref, hyp_ref, ids_ref, cot_ref, p_ref, a_ref,
         denom, m_spread, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
     )  # (block, wide)
+    p_cur = p_ref[...].astype(jnp.float32)
     upd = lr * g / denom_l
     if wd:
-        upd = upd + lr * wd * p_ref[...]
-    po_ref[...] = p_ref[...] - upd
+        upd = upd + lr * wd * p_cur
+    po_ref[...] = (p_cur - upd).astype(p_dtype)
     ao_ref[...] = acc
 
 
@@ -305,6 +314,7 @@ def fused_bwd_rowwise_adagrad(
         _adagrad_kernel, block=block, ch=ch, pack=pack, d=d, eps=eps, wd=wd,
         mm_dtype=mm_dtype, precision=precision,
         streams=streams, nc_s=ids2d.shape[0] // streams, nb1=nb + 1,
+        p_dtype=p.dtype,
     )
     return pl.pallas_call(
         kern,

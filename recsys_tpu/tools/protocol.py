@@ -49,7 +49,8 @@ def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
             epochs: int, seed: int = 0, patience: int | None = 1,
             lr: float = 1e-3, embedding_optimizer: str | None = None,
             embedding_engine: str | None = None,
-            teacher: str = "fm", embedding_lr: float | None = None) -> dict:
+            teacher: str = "fm", embedding_lr: float | None = None,
+            table_dtype: str = "f32") -> dict:
     """CTR AUC protocol: 80/20 split, 10% val, Adam 1e-3, EarlyStopping
     (val_loss, patience=1) — /root/reference/src/ctr/fm/train.py:32-34,58-67
     — on Zipfian Criteo-shaped data at reference vocab magnitudes.
@@ -103,6 +104,8 @@ def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
     if embedding_optimizer:
         out["embedding_optimizer"] = embedding_optimizer
     out["teacher"] = teacher
+    if table_dtype != "f32":
+        out["table_dtype"] = table_dtype
     if patience is None:
         out["early_stopping"] = "lifted"
     for name in models:
@@ -114,6 +117,8 @@ def run_ctr(rows: int, models: list[str], embed_dim: int, batch_size: int,
             tkw["embedding_optimizer"] = embedding_optimizer
         if embedding_engine:
             kw["embed_kw"] = {"engine": embedding_engine, "mesh": mesh}
+        if table_dtype == "bf16":
+            kw.setdefault("embed_kw", {})["param_dtype"] = jnp.bfloat16
         if embedding_optimizer and embedding_lr is not None:
             tkw["embedding_lr"] = embedding_lr
         tr = Trainer(_ctr_model(name, schema, **kw), learning_rate=lr,
@@ -753,6 +758,11 @@ def main(argv=None):
     p.add_argument("--embedding-lr", type=float, default=None,
                    help="separate LR for the table optimizer (AdaGrad "
                    "variants typically want ~1e-2)")
+    p.add_argument("--table-dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="embedding master-table dtype (ctr mode): bf16 is "
+                   "the byte-diet lever — AUC parity vs f32 is this "
+                   "flag's validation purpose")
     p.add_argument("--teacher", default="fm", choices=["fm", "mlp"],
                    help="ctr generator teacher: 'fm' (FM-realizable; FM is "
                    "the Bayes form) or 'mlp' (non-multiplicative; the "
@@ -769,7 +779,8 @@ def main(argv=None):
                       patience=args.patience or None, lr=args.lr,
                       embedding_optimizer=args.embedding_optimizer,
                       embedding_engine=args.embedding_engine,
-                      teacher=args.teacher, embedding_lr=args.embedding_lr)
+                      teacher=args.teacher, embedding_lr=args.embedding_lr,
+                      table_dtype=args.table_dtype)
     elif args.mode == "ncf":
         rep = run_ncf(args.users, args.items, args.batch_size or 1024,
                       args.epochs or 8, args.seed)

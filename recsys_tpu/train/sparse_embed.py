@@ -201,14 +201,19 @@ def init_state(tables: dict, kind: str, plan: EmbedPlan) -> dict:
     """Moment buffers matching each table's (packed) shape (and sharding,
     if placed afterwards by the caller).  rowwise_adagrad keeps one
     accumulator per VOCAB row: (V_phys, pack)."""
+    # moments/accumulators stay float32 whatever the table dtype:
+    # bf16 master tables (StackedEmbedding(param_dtype=bf16) — halved
+    # gather + update stream bytes) must not also quantise the optimizer
+    # state, where bf16's 8-bit mantissa destroys the v second-moment
     if kind == "lazy_adam":
         return {
-            name: {"m": jnp.zeros_like(t), "v": jnp.zeros_like(t)}
+            name: {"m": jnp.zeros(t.shape, jnp.float32),
+                   "v": jnp.zeros(t.shape, jnp.float32)}
             for name, t in tables.items()
         }
     if kind == "rowwise_adagrad":
         return {
-            name: {"acc": jnp.zeros((t.shape[0], p), t.dtype)}
+            name: {"acc": jnp.zeros((t.shape[0], p), jnp.float32)}
             for (name, t), p in zip(tables.items(), plan.packs)
         }
     raise ValueError(f"unknown sparse embedding optimizer {kind!r}: {KINDS}")

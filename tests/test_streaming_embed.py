@@ -588,3 +588,68 @@ def test_local_contract_evaluate_loss_tail_correction():
         return tr.evaluate_loss(data, batch_size=128)
 
     assert abs(run("local") - run("global")) < 1e-5
+
+
+def test_fused_adam_bf16_master_tables():
+    """bf16 master tables: the kernel reads p up to f32, keeps the f32
+    moments bit-identical to the f32-table run (m/v don't depend on p),
+    and writes p back in bf16 — one rounding of the f32 update."""
+    from recsys_tpu.kernels.pallas.embedding_update_tpu import fused_bwd_adam
+
+    rng = np.random.default_rng(11)
+    vocab, pack, d, n, block, ch = 500, 8, 16, 256, 16, 64
+    vp = ((-(-vocab // pack)) + 7) // 8 * 8
+    wide = pack * d
+    ids = rng.integers(0, vocab, n).astype(np.int32)
+    cot = np.asarray(
+        jnp.asarray(rng.standard_normal((n, d)) * 1e-2, jnp.bfloat16)
+        .astype(jnp.float32))
+    # p already bf16-representable so both runs read identical values
+    p32 = np.asarray(
+        jnp.asarray(rng.uniform(-0.05, 0.05, (vp, wide)), jnp.bfloat16)
+        .astype(jnp.float32))
+    m = (rng.standard_normal((vp, wide)) * 1e-3).astype(np.float32)
+    v = rng.uniform(1e-8, 1e-4, (vp, wide)).astype(np.float32)
+
+    ids2d, idx, cptr = host_prep_group(ids, pack=pack, vp=vp, block=block,
+                                       ch=ch)
+    cs = np.take(cot, idx, axis=0)
+
+    def run(p_arr):
+        return fused_bwd_adam(
+            jnp.asarray(p_arr), jnp.asarray(m), jnp.asarray(v),
+            jnp.asarray(cs), jnp.asarray(ids2d), jnp.asarray(cptr),
+            jnp.int32(3), block=block, ch=ch, pack=pack, d=d,
+            mm_bf16=True, interpret=True,
+        )
+
+    got16 = run(jnp.asarray(p32, jnp.bfloat16))
+    got32 = run(p32)
+    assert got16[0].dtype == jnp.bfloat16
+    # moments: identical inputs -> identical f32 outputs
+    np.testing.assert_array_equal(np.asarray(got16[1]), np.asarray(got32[1]))
+    np.testing.assert_array_equal(np.asarray(got16[2]), np.asarray(got32[2]))
+    # p: equal up to ONE bf16 rounding of the f32 result
+    want = np.asarray(jnp.asarray(got32[0], jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(got16[0]).astype(np.float32), want, rtol=8e-3, atol=1e-6)
+
+
+def test_trainer_fused_adam_bf16_tables_trains():
+    """DLRM with bf16 master tables + fused_adam trains end to end (the
+    corrected-stream_probe byte-diet lever, opt-in)."""
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=512, num_dense=4,
+                                 num_sparse=5, vocab_size=64, embed_dim=8,
+                                 seed=7)
+    tr = Trainer(
+        DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+             sparse_embed_grads=True,
+             embed_kw={"param_dtype": jnp.bfloat16}),
+        learning_rate=1e-2, embedding_optimizer="fused_adam", seed=11,
+    )
+    hist = tr.fit(data, batch_size=128, epochs=3, verbose=False)
+    assert hist["loss"][-1] < hist["loss"][0], hist["loss"]
