@@ -197,6 +197,57 @@ def make_host_prep(plan: EmbedPlan, block: int = DEFAULT_BLOCK,
     return prep
 
 
+# Tiny table groups route around the Pallas kernel: below this many bytes
+# the streaming update buys nothing (the whole table is a few KB), and a
+# mixed program of many wide-128 streaming kernels plus tiny-wide ones
+# deterministically crashed the TPU worker at small batch (B=512, the CTR
+# protocol config — reproduced at r4 AND r5 kernels, f32 and bf16 matmul
+# modes; big-only and tiny-only programs both run clean).  The XLA
+# fallback is the exact same dense-optimizer math via scatter-add.
+TINY_TABLE_BYTES = 64 * 1024
+
+
+def _xla_group_update(t, state, cot_sorted, ids2d, *, pack, d, lr, step,
+                      wd, kind, b1=0.9, b2=0.999, eps=1e-8):
+    """Exact dense Adam / rowwise-AdaGrad for one (tiny) group via XLA.
+
+    Consumes the SAME host-prep arrays as the kernel (sorted cot +
+    sentinel-padded ids; cptr unused): scatter-add the per-occurrence
+    cotangents into a dense (vp, pack, d) gradient (sentinels land in a
+    dropped overflow row), then the elementwise update — bit-for-bit the
+    kernel's semantics up to f32 summation order."""
+    vp, wide = t.shape
+    ids = ids2d.reshape(-1)
+    cot = cot_sorted.reshape(-1, d).astype(jnp.float32)
+    valid = ids < vp * pack
+    prow = jnp.where(valid, ids // pack, vp)  # overflow row vp
+    sub = jnp.where(valid, ids % pack, 0)
+    g3 = jnp.zeros((vp + 1, pack, d), jnp.float32)
+    g = g3.at[prow, sub].add(cot)[:vp].reshape(vp, wide)
+    p_cur = t.astype(jnp.float32)
+    if kind == "adam":
+        tf = step.astype(jnp.float32)
+        m = b1 * state["m"] + (1.0 - b1) * g
+        v = b2 * state["v"] + (1.0 - b2) * g * g
+        upd = lr * (m / (1.0 - b1 ** tf)) / (
+            jnp.sqrt(v / (1.0 - b2 ** tf)) + eps
+        )
+        if wd:
+            upd = upd + lr * wd * p_cur
+        return (p_cur - upd).astype(t.dtype), {"m": m, "v": v}
+    # rowwise adagrad: one accumulator per vocab row (mean over d of g^2)
+    msq = jnp.mean(
+        (g * g).reshape(vp, pack, d), axis=2
+    )  # (vp, pack)
+    acc = state["acc"] + msq
+    denom = jnp.sqrt(acc) + eps
+    upd = lr * g.reshape(vp, pack, d) / denom[..., None]
+    upd = upd.reshape(vp, wide)
+    if wd:
+        upd = upd + lr * wd * p_cur
+    return (p_cur - upd).astype(t.dtype), {"acc": acc}
+
+
 def apply_updates_fused(
     tables: dict,
     state: dict,
@@ -345,6 +396,25 @@ def apply_updates_fused(
                 ids2d = jax.lax.with_sharding_constraint(ids2d, rep)
                 cptr = jax.lax.with_sharding_constraint(cptr, rep)
         t = tables[name]
+        tiny = t.size * t.dtype.itemsize < TINY_TABLE_BYTES
+        if tiny and sg == 1:
+            # XLA fallback for tiny groups (see TINY_TABLE_BYTES): exact
+            # same dense-optimizer math, negligible cost at these sizes,
+            # and it keeps tiny-wide Pallas calls out of the program
+            new_t, new_st = _xla_group_update(
+                t, state[name], cot_sorted, ids2d, pack=pack, d=d,
+                lr=lr, step=step, wd=weight_decay,
+                kind="adam" if kind == "adam" else "rowwise",
+            )
+            if mesh is not None:
+                new_t = jax.lax.with_sharding_constraint(new_t, rep)
+                new_st = {
+                    k2: jax.lax.with_sharding_constraint(v2, rep)
+                    for k2, v2 in new_st.items()
+                }
+            new_tables[name] = new_t
+            new_state[name] = new_st
+            continue
         vs = t.shape[0] // sg  # local rows per model shard
         blk = min(block, vs)
         kw = dict(

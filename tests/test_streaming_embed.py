@@ -653,3 +653,67 @@ def test_trainer_fused_adam_bf16_tables_trains():
     )
     hist = tr.fit(data, batch_size=128, epochs=3, verbose=False)
     assert hist["loss"][-1] < hist["loss"][0], hist["loss"]
+
+
+def test_xla_tiny_group_update_matches_dense_reference():
+    """The tiny-group XLA fallback (streaming_embed.TINY_TABLE_BYTES) must
+    be the exact kernel semantics: dense Adam over scatter-added grads."""
+    from recsys_tpu.train.streaming_embed import _xla_group_update
+
+    rng = np.random.default_rng(21)
+    vocab, pack, d, n, block, ch = 60, 1, 16, 256, 8, 32
+    vp = ((-(-vocab // pack)) + 7) // 8 * 8
+    wide = pack * d
+    ids = rng.integers(0, vocab, n).astype(np.int32)
+    cot = np.asarray(
+        jnp.asarray(rng.standard_normal((n, d)) * 1e-2, jnp.bfloat16)
+        .astype(jnp.float32))
+    p = rng.uniform(-0.05, 0.05, (vp, wide)).astype(np.float32)
+    m = (rng.standard_normal((vp, wide)) * 1e-3).astype(np.float32)
+    v = rng.uniform(1e-8, 1e-4, (vp, wide)).astype(np.float32)
+    i2, ix, cp = host_prep_group(ids, pack=pack, vp=vp, block=block, ch=ch)
+    cs = np.take(cot, ix, axis=0)
+    got_p, got_st = _xla_group_update(
+        jnp.asarray(p), {"m": jnp.asarray(m), "v": jnp.asarray(v)},
+        jnp.asarray(cs), jnp.asarray(i2), pack=pack, d=d, lr=1e-3,
+        step=jnp.int32(3), wd=0.0, kind="adam",
+    )
+    want = _dense_reference(
+        p.astype(np.float64), m.astype(np.float64), v.astype(np.float64),
+        cot, ids, 3, pack=pack, d=d,
+    )
+    np.testing.assert_allclose(np.asarray(got_p), want[0], rtol=2e-4,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got_st["m"]), want[1], rtol=2e-4,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got_st["v"]), want[2], rtol=2e-4,
+                               atol=1e-9)
+
+
+def test_trainer_fused_adam_big_vocab_kernel_path():
+    """A table above TINY_TABLE_BYTES keeps the Pallas kernel path in the
+    Trainer (the tiny-group fallback must not swallow production tables),
+    and training still matches the dense-optax trajectory."""
+    from recsys_tpu.data.synthetic import synthetic_ctr
+    from recsys_tpu.models.ctr.dlrm import DLRM
+    from recsys_tpu.train import streaming_embed
+    from recsys_tpu.train.loop import Trainer
+
+    schema, data = synthetic_ctr(num_examples=256, num_dense=4,
+                                 num_sparse=3, vocab_size=4096,
+                                 embed_dim=8, seed=3)
+    tr = Trainer(
+        DLRM(schema, bottom_units=(16, 8), top_units=(16,),
+             sparse_embed_grads=True),
+        learning_rate=1e-2, embedding_optimizer="fused_adam", seed=1,
+    )
+    hist = tr.fit(data, batch_size=128, epochs=2, verbose=False)
+    assert hist["loss"][-1] < hist["loss"][0]
+    # the bench-scale table really is above the fallback threshold
+    from recsys_tpu.train import sparse_embed
+
+    _, tables = sparse_embed.split_params(tr.state.params, tr._embed_plan)
+    assert any(
+        t.size * t.dtype.itemsize >= streaming_embed.TINY_TABLE_BYTES
+        for t in tables.values()
+    )
